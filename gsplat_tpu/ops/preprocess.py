@@ -1,0 +1,185 @@
+"""Per-gaussian preprocessing: frustum cull, projection, EWA 2D covariance,
+conic, screen radius, tile rect, SH->RGB.
+
+Behavioral spec: reference forward.cu:74-256 (preprocessCUDA + computeCov2D +
+computeCov3D) and auxiliary.h:40-56,137-164 (ndc2Pix, getRect, in_frustum).
+This is embarrassingly parallel over P, so it is plain vectorized jnp: XLA
+fuses the whole thing into a handful of VPU loops; no hand kernel needed
+(SURVEY.md §7.1).  Everything is fp32.
+
+Convention reminder: the view/projection matrices are stored transposed
+(row-vector convention), so points transform as ``p_row @ M`` — see
+core/cameras.py.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.core import sh as sh_lib
+from gsplat_tpu.core import transforms as T
+
+TILE_X = 16  # reference config.h:17
+TILE_Y = 16  # reference config.h:18
+
+
+class PreprocessOut(NamedTuple):
+    depths: jnp.ndarray         # [P] view-space z
+    radii: jnp.ndarray          # [P] int32 screen-space radius (0 = culled)
+    means2d: jnp.ndarray        # [P,2] pixel coords
+    conic: jnp.ndarray          # [P,3] inverse 2D covariance (a,b,c)
+    rgb: jnp.ndarray            # [P,3] SH-evaluated color (or override)
+    opacity: jnp.ndarray        # [P] activated opacity
+    tiles_touched: jnp.ndarray  # [P] int32 count of touched tiles
+    rect_min: jnp.ndarray       # [P,2] int32 (tx,ty) inclusive
+    rect_max: jnp.ndarray       # [P,2] int32 exclusive
+    visible: jnp.ndarray        # [P] bool (radii > 0)
+
+
+def ndc2pix(v, S):
+    """auxiliary.h:40-43."""
+    return ((v + 1.0) * S - 1.0) * 0.5
+
+
+_HI = jax.lax.Precision.HIGHEST  # fp32 MXU accumulation everywhere in this path
+
+
+def transform_point_4x3(p, M):
+    """p_row @ M, first 3 components (auxiliary.h:57-66)."""
+    return jnp.matmul(p, M[:3, :3], precision=_HI) + M[3, :3]
+
+
+def transform_point_4x4(p, M):
+    """p_row @ M homogeneous (auxiliary.h:68-77)."""
+    return jnp.matmul(p, M[:3, :4], precision=_HI) + M[3, :4]
+
+
+def compute_cov2d(means3d, cov3d6, focal_x, focal_y, tan_fovx, tan_fovy, viewmatrix):
+    """EWA-project 3D covariances to 2D (forward.cu:74-113).
+
+    Returns [P,3] packed (cov_xx, cov_xy, cov_yy) with the +0.3 low-pass.
+    """
+    t = transform_point_4x3(means3d, viewmatrix)  # [P,3] view-space
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    tz = t[:, 2]
+    txtz = t[:, 0] / tz
+    tytz = t[:, 1] / tz
+    tx = jnp.clip(txtz, -limx, limx) * tz
+    ty = jnp.clip(tytz, -limy, limy) * tz
+
+    # J (math-matrix form; see forward.cu:89-93 — glm column-major unfolds to
+    # exactly this):  rows are d(screen)/d(view).
+    zeros = jnp.zeros_like(tz)
+    J = jnp.stack(
+        [
+            jnp.stack([focal_x / tz, zeros, -(focal_x * tx) / (tz * tz)], axis=-1),
+            jnp.stack([zeros, focal_y / tz, -(focal_y * ty) / (tz * tz)], axis=-1),
+            jnp.stack([zeros, zeros, zeros], axis=-1),
+        ],
+        axis=-2,
+    )  # [P,3,3]
+
+    W = viewmatrix[:3, :3]  # math W; combined with J gives J^T R Σ R^T J
+    Tm = jnp.einsum("ij,pjk->pik", W, J, precision=_HI)  # T = W @ J
+    Vrk = T.unpack_symmetric(cov3d6)              # [P,3,3]
+    cov = jnp.einsum("pji,pjk,pkl->pil", Tm, Vrk, Tm, precision=_HI)  # T^T Σ T
+    cov_xx = cov[:, 0, 0] + 0.3
+    cov_xy = cov[:, 0, 1]
+    cov_yy = cov[:, 1, 1] + 0.3
+    return jnp.stack([cov_xx, cov_xy, cov_yy], axis=-1)
+
+
+def preprocess(
+    means3d: jnp.ndarray,            # [P,3]
+    scales: jnp.ndarray,             # [P,3] activated (exp applied)
+    rotations: jnp.ndarray,          # [P,4] raw quaternions
+    opacities: jnp.ndarray,          # [P] activated (sigmoid applied)
+    shs: Optional[jnp.ndarray],      # [P,K,3] or None
+    sh_degree: int,
+    viewmatrix: jnp.ndarray,         # [4,4] transposed W2V
+    projmatrix: jnp.ndarray,         # [4,4] transposed full projection
+    campos: jnp.ndarray,             # [3]
+    tan_fovx,
+    tan_fovy,
+    width: int,
+    height: int,
+    scale_modifier: float = 1.0,
+    cov3d_precomp: Optional[jnp.ndarray] = None,   # [P,6]
+    colors_precomp: Optional[jnp.ndarray] = None,  # [P,3]
+) -> PreprocessOut:
+    P = means3d.shape[0]
+    focal_y = height / (2.0 * tan_fovy)   # rasterizer_impl.cu:226-227
+    focal_x = width / (2.0 * tan_fovx)
+
+    grid_x = (width + TILE_X - 1) // TILE_X
+    grid_y = (height + TILE_Y - 1) // TILE_Y
+
+    # Frustum cull (auxiliary.h:137-164): view z > 0.2 required.
+    p_view = transform_point_4x3(means3d, viewmatrix)
+    in_frustum = p_view[:, 2] > 0.2
+
+    # Project (forward.cu:197-200).
+    p_hom = transform_point_4x4(means3d, projmatrix)
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_proj = p_hom[:, :3] * p_w[:, None]
+
+    # 3D covariance.
+    if cov3d_precomp is not None:
+        cov3d6 = cov3d_precomp
+    else:
+        cov3d6 = T.covariance_from_scaling_rotation(scales, scale_modifier, rotations)
+
+    # 2D covariance -> conic (forward.cu:219-227).
+    cov2d = compute_cov2d(
+        means3d, cov3d6, focal_x, focal_y, tan_fovx, tan_fovy, viewmatrix
+    )
+    det = cov2d[:, 0] * cov2d[:, 2] - cov2d[:, 1] * cov2d[:, 1]
+    det_ok = det != 0.0
+    det_inv = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    conic = jnp.stack(
+        [cov2d[:, 2] * det_inv, -cov2d[:, 1] * det_inv, cov2d[:, 0] * det_inv],
+        axis=-1,
+    )
+
+    # Screen-space radius from max eigenvalue (forward.cu:229-233).
+    mid = 0.5 * (cov2d[:, 0] + cov2d[:, 2])
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lam2 = mid - jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, lam2)))
+
+    point_image = jnp.stack(
+        [ndc2pix(p_proj[:, 0], width), ndc2pix(p_proj[:, 1], height)], axis=-1
+    )
+
+    # Tile rect (auxiliary.h:45-56). Note: float-divide then int-trunc like CUDA.
+    rect_min_x = jnp.clip(((point_image[:, 0] - radius) / TILE_X).astype(jnp.int32), 0, grid_x)
+    rect_min_y = jnp.clip(((point_image[:, 1] - radius) / TILE_Y).astype(jnp.int32), 0, grid_y)
+    rect_max_x = jnp.clip(((point_image[:, 0] + radius + TILE_X - 1) / TILE_X).astype(jnp.int32), 0, grid_x)
+    rect_max_y = jnp.clip(((point_image[:, 1] + radius + TILE_Y - 1) / TILE_Y).astype(jnp.int32), 0, grid_y)
+    tiles = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
+
+    valid = in_frustum & det_ok & (tiles > 0)
+    radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
+    tiles_touched = jnp.where(valid, tiles, 0).astype(jnp.int32)
+
+    # Color (forward.cu:238-246).
+    if colors_precomp is not None:
+        rgb = colors_precomp
+    else:
+        rgb = sh_lib.sh_to_rgb(sh_degree, shs, means3d, campos)
+
+    return PreprocessOut(
+        depths=p_view[:, 2],
+        radii=radii,
+        means2d=point_image,
+        conic=conic,
+        rgb=rgb,
+        opacity=opacities,
+        tiles_touched=tiles_touched,
+        rect_min=jnp.stack([rect_min_x, rect_min_y], axis=-1),
+        rect_max=jnp.stack([rect_max_x, rect_max_y], axis=-1),
+        visible=valid,
+    )

@@ -1,0 +1,131 @@
+"""Top-level differentiable rasterizer: preprocess -> binning -> composite.
+
+API mirror of the reference's python wrapper
+(diff_gaussian_rasterization/__init__.py:21-235 — GaussianRasterizationSettings
+/ GaussianRasterizer / rasterize_gaussians) but TPU-native: one jit-able pure
+function, fixed-capacity binning, channels composited in a single fused pass
+(RGB + depth + alpha + segments), gradients via jax.grad (preprocess/gather)
+plus the composite backward.
+
+``means2d_offset`` is the gradient tap replacing the reference's zero
+``screenspace_points`` tensor with retain_grad (gaussian_renderer/__init__.py:
+304-308): pass zeros [P,2]; grad w.r.t. it is the pixel-space dL/d(mean2d),
+which the trainer rescales by (0.5*W, 0.5*H) for densification stats, matching
+backward.cu:627-628's NDC scaling.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.ops import binning as binning_lib
+from gsplat_tpu.ops import preprocess as pre_lib
+from gsplat_tpu.ops.preprocess import TILE_X, TILE_Y
+
+
+@dataclass(frozen=True)
+class RasterizeConfig:
+    """Static (compile-time) rasterizer configuration."""
+    width: int
+    height: int
+    sh_degree: int = 3
+    num_class: int = 0              # segment channels composited (0 = off)
+    max_instances: int = 1 << 20    # tile-instance capacity (binning)
+    k_max: int = 1024               # per-tile instance cap (jnp path)
+    tile_batch: int = 32            # tiles per lax.map step (jnp path)
+    backend: str = "auto"           # "auto" | "jnp" | "pallas" | "reference"
+
+    @property
+    def grid_x(self):
+        return (self.width + TILE_X - 1) // TILE_X
+
+    @property
+    def grid_y(self):
+        return (self.height + TILE_Y - 1) // TILE_Y
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    return "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+
+@partial(jax.jit, static_argnames=("config",))
+def rasterize(
+    config: RasterizeConfig,
+    means3d: jnp.ndarray,                 # [P,3]
+    scales: jnp.ndarray,                  # [P,3] activated
+    rotations: jnp.ndarray,               # [P,4]
+    opacities: jnp.ndarray,               # [P] activated
+    shs: Optional[jnp.ndarray],           # [P,K,3]
+    viewmatrix: jnp.ndarray,
+    projmatrix: jnp.ndarray,
+    campos: jnp.ndarray,
+    tan_fovx,
+    tan_fovy,
+    bg: jnp.ndarray,                      # [3]
+    segments: Optional[jnp.ndarray] = None,       # [P,S] activated probs
+    means2d_offset: Optional[jnp.ndarray] = None, # [P,2] zeros gradient tap
+    scale_modifier: float = 1.0,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+):
+    """Returns dict(render [3,H,W], depth [H,W], alpha [H,W],
+    segment [S,H,W]?, radii [P], visibility [P] bool, overflow [], num_rendered [])."""
+    pre = pre_lib.preprocess(
+        means3d, scales, rotations, opacities, shs,
+        config.sh_degree, viewmatrix, projmatrix, campos,
+        tan_fovx, tan_fovy, config.width, config.height,
+        scale_modifier=scale_modifier,
+        cov3d_precomp=cov3d_precomp,
+        colors_precomp=colors_precomp,
+    )
+    if means2d_offset is not None:
+        pre = pre._replace(means2d=pre.means2d + means2d_offset)
+
+    # Binning is index bookkeeping — no gradients flow through it.
+    pre_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, pre)
+    bins = binning_lib.bin_gaussians(
+        pre_sg, config.grid_x, config.grid_y, config.max_instances
+    )
+
+    # Pack channels: rgb(3) + depth(1) + weight(1) [+ segment(S)].
+    feats = [pre.rgb, pre.depths[:, None], jnp.ones_like(pre.depths[:, None])]
+    if config.num_class > 0:
+        assert segments is not None
+        feats.append(segments)
+    feats = jnp.concatenate(feats, axis=1)
+
+    backend = _resolve_backend(config.backend)
+    if backend == "pallas":
+        from gsplat_tpu.ops.composite_pallas import composite_pallas
+        img, T_final = composite_pallas(
+            pre.means2d, pre.conic, pre.opacity, feats, bins,
+            config.width, config.height,
+        )
+    else:
+        from gsplat_tpu.ops.composite_tiled import composite_tiled
+        img, T_final = composite_tiled(
+            pre.means2d, pre.conic, pre.opacity, feats, bins,
+            config.width, config.height,
+            k_max=config.k_max, tile_batch=config.tile_batch,
+        )
+
+    render = jnp.transpose(img[..., 0:3], (2, 0, 1)) + T_final[None] * bg[:, None, None]
+    out = {
+        "render": render,
+        "depth": img[..., 3],
+        "alpha": img[..., 4],
+        "radii": pre.radii,
+        "visibility": pre.visible,
+        "overflow": bins.overflow,
+        "num_rendered": bins.num_rendered,
+        "T_final": T_final,
+    }
+    if config.num_class > 0:
+        out["segment"] = jnp.transpose(img[..., 5:5 + config.num_class], (2, 0, 1))
+    return out

@@ -1,0 +1,156 @@
+"""Training losses.
+
+Behavioral spec: reference utils/loss_utils.py:18-155 and the dispatch in
+train.py:110-141 / train_segment.py:125-138.  All semantics are replicated —
+including the reference's quirks (localrf zeroes the top-20% outliers but
+still averages over the full array; continue_loss anchors GT at flat index 5
+and pred at flat index 0; depth losses consume INVERSE rendered depth
+``1/clamp(depth, 1e-6)``).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def l1_loss(x, y):
+    return jnp.mean(jnp.abs(x - y))
+
+
+def l2_loss(x, y):
+    return jnp.mean((x - y) ** 2)
+
+
+def _gaussian_window(window_size: int, sigma: float):
+    xs = jnp.arange(window_size, dtype=jnp.float32) - window_size // 2
+    g = jnp.exp(-(xs ** 2) / (2 * sigma ** 2))
+    g = g / jnp.sum(g)
+    return jnp.outer(g, g)  # [W,W]
+
+
+@partial(jax.jit, static_argnames=("window_size",))
+def ssim(img1, img2, window_size: int = 11):
+    """Windowed SSIM, 11x11 gaussian sigma=1.5 (loss_utils.py:110-150).
+    img: [C,H,W] in [0,1]."""
+    C = img1.shape[0]
+    w = _gaussian_window(window_size, 1.5)
+    kernel = jnp.tile(w[None, None], (C, 1, 1, 1))  # [C,1,W,W] grouped
+
+    def conv(x):
+        return jax.lax.conv_general_dilated(
+            x[None], kernel, window_strides=(1, 1),
+            padding=[(window_size // 2,) * 2] * 2,
+            feature_group_count=C,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]
+
+    mu1, mu2 = conv(img1), conv(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+    sigma1_sq = conv(img1 * img1) - mu1_sq
+    sigma2_sq = conv(img2 * img2) - mu2_sq
+    sigma12 = conv(img1 * img2) - mu1_mu2
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2))
+    return jnp.mean(ssim_map)
+
+
+def segment_loss(segment_chw, gt_labels_hw):
+    """Per-pixel cross-entropy on composited segment channels
+    (train_segment.py:125-138; torch nn.CrossEntropyLoss semantics:
+    log_softmax over the class axis + NLL)."""
+    logits = jnp.transpose(segment_chw, (1, 2, 0))          # [H,W,C]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, gt_labels_hw[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+def compute_depth_loss(dyn_depth, gt_depth, lambda_depth):
+    """'localrf' loss: median/MAD-normalized MSE with top-20% outliers zeroed
+    (loss_utils.py:88-102)."""
+    d = dyn_depth.reshape(-1)
+    g = gt_depth.reshape(-1)
+    t_d = jnp.median(d)
+    s_d = jnp.mean(jnp.abs(d - t_d))
+    dn = (d - t_d) / s_d
+    t_g = jnp.median(g)
+    s_g = jnp.mean(jnp.abs(g - t_g))
+    gn = (g - t_g) / s_g
+    arr = (dn - gn) ** 2
+    q = jnp.quantile(arr, 0.8)
+    arr = jnp.where(arr > q, 0.0, arr)
+    return jnp.mean(arr) * lambda_depth
+
+
+def compute_rank_loss(key, dyn_depth, gt_depth, lambda_depth, sample_nums=1000):
+    """Pairwise ordering hinge on 1000 random samples (loss_utils.py:20-40)."""
+    pred = dyn_depth.reshape(-1) / jnp.max(dyn_depth)
+    gt = gt_depth.reshape(-1) / jnp.max(gt_depth)
+    sample = jax.random.randint(key, (sample_nums,), 0, pred.shape[0])
+    p = pred[sample]
+    g = gt[sample]
+    # mask[i,j]: gt_i > gt_j ; penalize pred_j - pred_i + 1e-4 clamped >= 0
+    mask = (g[:, None] - g[None, :]) > 0
+    diff = jnp.clip(p[None, :] - p[:, None] + 1e-4, 0.0, None)
+    cnt = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.where(mask, diff, 0.0)) / cnt * lambda_depth
+
+
+def compute_continue_loss(key, dyn_depth, gt_depth, lambda_depth,
+                          sample_nums=100, patch_size=3):
+    """Continuity transfer on random 3x3 patches (loss_utils.py:44-86).
+    dyn_depth/gt_depth: [1,H,W]."""
+    gt = gt_depth / jnp.max(gt_depth)
+    pred = dyn_depth / jnp.max(dyn_depth)
+    kw, kh = jax.random.split(key)
+    H, W = gt.shape[1], gt.shape[2]
+    sw = jax.random.randint(kw, (sample_nums,), 0, H - patch_size)
+    sh = jax.random.randint(kh, (sample_nums,), 0, W - patch_size)
+
+    dw = jnp.arange(patch_size)
+    # patch [s, 3, 3] gathered at (sw+i, sh+j)
+    wi = sw[:, None, None] + dw[None, :, None]
+    hj = sh[:, None, None] + dw[None, None, :]
+    g_p = gt[0][wi, hj].reshape(sample_nums, -1).T[None]    # [1, 9, S]
+    p_p = pred[0][wi, hj].reshape(sample_nums, -1).T[None]
+
+    anchor_idx = patch_size ** 2 // 2 + 1  # ref quirk: 5, not the center 4
+    condition = jnp.abs(g_p[:, anchor_idx, :][:, None, :] - g_p)
+    mask = (condition <= 1e-3) & (condition > 0)
+    cnt = jnp.sum(mask)
+    # ref quirk: pred anchored at flat index 0
+    pen = jnp.clip(jnp.abs(p_p[:, 0, :][:, None, :] - p_p) - 1e-3, 0.0, None)
+    loss = jnp.sum(jnp.where(mask, pen, 0.0)) / jnp.maximum(cnt, 1)
+    return jnp.where(cnt > 0, loss, 0.0) * lambda_depth
+
+
+def depth_loss_dispatch(choice: str, key, depth_hw, gt_depth, opt):
+    """train.py:114-141: all depth losses consume inverse rendered depth."""
+    inv = 1.0 / jnp.clip(depth_hw, 1e-6, None)
+    if inv.ndim == 2:
+        inv = inv[None]
+    gt = gt_depth if gt_depth.ndim == 3 else gt_depth[None]
+    if choice == "localrf":
+        return compute_depth_loss(inv, gt, opt.lambda_depth)
+    if choice == "rank_loss":
+        return compute_rank_loss(key, inv, gt, opt.lambda_rank_depth)
+    if choice == "continue_loss":
+        return compute_continue_loss(key, inv, gt, opt.lambda_continue_depth)
+    if choice == "hybrid_loss":
+        k1, k2 = jax.random.split(key)
+        return (compute_continue_loss(k1, inv, gt, opt.lambda_continue_depth)
+                + compute_rank_loss(k2, inv, gt, opt.lambda_rank_depth))
+    if choice == "L1_loss":
+        gt_n = gt / jnp.max(gt)
+        return l1_loss(inv, gt_n) * opt.lambda_depth
+    raise ValueError(f"loss choice error! {choice}")
+
+
+def psnr(img1, img2):
+    """utils/image_utils.py:17-19."""
+    mse = jnp.mean((img1 - img2) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))

@@ -1,0 +1,170 @@
+"""GaussianModel / Adam / densify / KNN / PLY round-trip tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gsplat_tpu.core import transforms as T
+from gsplat_tpu.models import adam
+from gsplat_tpu.models.densify import (
+    add_densification_stats, densify_and_prune, reset_opacity,
+)
+from gsplat_tpu.models.gaussians import GaussianModel
+from gsplat_tpu.ops.knn import dist2_knn
+
+
+def _mini_model(rng, n=50, capacity=256, num_class=2):
+    m = GaussianModel(sh_degree=3, num_class=num_class, capacity=capacity)
+    pts = rng.standard_normal((n, 3)).astype(np.float32)
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    m.create_from_pcd(pts, cols, spatial_lr_scale=2.0)
+    m.training_setup()
+    return m, pts, cols
+
+
+def test_knn_exact_when_window_covers_all(rng):
+    pts = rng.standard_normal((300, 3)).astype(np.float32)
+    # window >= P-1 makes the morton-window search exhaustive -> exact match
+    d2 = np.asarray(dist2_knn(jnp.asarray(pts), window=299))
+    D = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    np.fill_diagonal(D, np.inf)
+    bf = np.sort(D, axis=1)[:, :3].mean(1)
+    np.testing.assert_allclose(d2, bf, rtol=1e-4)
+
+
+def test_knn_approximation_quality(rng):
+    # Morton-window approximation: like the reference's box-pruned search
+    # (simple_knn.cu) it may overestimate for isolated points; most points
+    # in a cloud must be near-exact.
+    pts = rng.standard_normal((2000, 3)).astype(np.float32)
+    d2 = np.asarray(dist2_knn(jnp.asarray(pts), window=32))
+    D = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    np.fill_diagonal(D, np.inf)
+    bf = np.sort(D, axis=1)[:, :3].mean(1)
+    rel = np.abs(d2 - bf) / (bf + 1e-12)
+    # an isotropic random cloud is the worst case for morton locality; real
+    # SfM clouds (surface-like) do much better. The init only consumes
+    # log(sqrt(d2)), so tail overestimates are benign.
+    assert np.median(rel) < 1e-4
+    assert (rel < 0.5).mean() > 0.75
+    # window search can only overestimate (up to fp32 reduction noise)
+    assert (d2 >= bf * (1 - 1e-3)).all()
+
+
+def test_create_from_pcd_init_values(rng):
+    m, pts, cols = _mini_model(rng)
+    alive = np.asarray(m.aux.alive)
+    assert alive[:50].all() and not alive[50:].any()
+    np.testing.assert_allclose(np.asarray(m.get_xyz[:50]), pts, atol=1e-6)
+    # opacity init 0.1 (gaussian_model.py:149)
+    np.testing.assert_allclose(np.asarray(m.get_opacity[:50]), 0.1, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m.get_segment[:50]), 0.1, atol=1e-5)
+    # DC features encode the colors
+    from gsplat_tpu.core import sh as sh_lib
+    np.testing.assert_allclose(
+        np.asarray(sh_lib.sh_to_rgb_dc(m.params.features_dc[:50, 0])), cols, atol=1e-5)
+
+
+def test_adam_matches_torch_semantics(rng):
+    import torch
+    x0 = rng.standard_normal((8, 3)).astype(np.float32)
+    g_np = rng.standard_normal((8, 3)).astype(np.float32)
+
+    tx = torch.tensor(x0, requires_grad=True)
+    topt = torch.optim.Adam([tx], lr=0.01, eps=1e-15)
+    for _ in range(5):
+        topt.zero_grad()
+        tx.grad = torch.tensor(g_np)
+        topt.step()
+
+    params = {"x": jnp.asarray(x0)}
+    st = adam.init(params)
+    for _ in range(5):
+        params, st = adam.update({"x": jnp.asarray(g_np)}, st, params, {"x": 0.01})
+    np.testing.assert_allclose(np.asarray(params["x"]), tx.detach().numpy(),
+                               atol=1e-6)
+
+
+def test_densify_clone_and_split(rng):
+    m, _, _ = _mini_model(rng, n=20, capacity=128)
+    # fabricate gradients: first 5 gaussians above threshold
+    aux = m.aux
+    grads = np.zeros((128, 2), np.float32)
+    grads[:5] = 1.0
+    radii = np.zeros(128, np.int32)
+    radii[:20] = 5
+    aux = add_densification_stats(aux, jnp.asarray(grads), jnp.asarray(radii))
+    # make gaussians 0,1 small (clone) and 2,3,4 big (split)
+    scaling = np.array(m.params.scaling)
+    scaling[:2] = np.log(0.001)
+    scaling[2:5] = np.log(10.0)
+    scaling[5:20] = np.log(0.001)
+    params = m.params._replace(scaling=jnp.asarray(scaling))
+
+    p2, a2, o2, stats = densify_and_prune(
+        params, aux, m.opt_state, jax.random.PRNGKey(0),
+        max_grad=0.5, min_opacity=0.005, extent=1.0, max_screen_size=0.0,
+        percent_dense=0.01, use_screen_size=False,
+    )
+    assert int(stats.n_cloned) == 2
+    assert int(stats.n_split) == 3
+    # alive: 20 - 3 split originals + 2 clones + 6 split children = 25
+    assert int(stats.n_alive) == 25
+    # split children scales shrunk by 1.6 (0.8*N)
+    alive = np.asarray(a2.alive)
+    scales_alive = np.exp(np.asarray(p2.scaling))[alive].max(1)
+    assert scales_alive.max() < 10.0 / 1.59
+
+
+def test_densify_prune_low_opacity(rng):
+    m, _, _ = _mini_model(rng, n=30, capacity=64)
+    op = np.array(m.params.opacity)
+    op[:10] = T.inverse_sigmoid(jnp.asarray(0.001)).item()
+    params = m.params._replace(opacity=jnp.asarray(op))
+    p2, a2, o2, stats = densify_and_prune(
+        params, m.aux, m.opt_state, jax.random.PRNGKey(1),
+        max_grad=0.5, min_opacity=0.005, extent=1.0, max_screen_size=0.0,
+        percent_dense=0.01, use_screen_size=False,
+    )
+    assert int(stats.n_alive) == 20
+    assert int(stats.n_pruned) == 10
+
+
+def test_reset_opacity(rng):
+    m, _, _ = _mini_model(rng, n=10, capacity=32)
+    p2, o2 = reset_opacity(m.params, m.aux, m.opt_state)
+    op = np.asarray(T.opacity_activation(p2.opacity))[np.asarray(m.aux.alive)]
+    assert (op <= 0.01 + 1e-6).all()
+    assert float(jnp.abs(o2.mu.opacity).max()) == 0.0
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    m, _, _ = _mini_model(rng, n=40, capacity=64, num_class=3)
+    path = str(tmp_path / "pc.ply")
+    m.save_ply(path)
+
+    m2 = GaussianModel(sh_degree=3, num_class=3, capacity=64)
+    m2.load_ply(path)
+    assert m2.num_alive == 40
+    np.testing.assert_allclose(np.asarray(m2.get_xyz[:40]),
+                               np.asarray(m.get_xyz[:40]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m2.params.features_rest[:40]),
+                               np.asarray(m.params.features_rest[:40]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m2.params.segment[:40]),
+                               np.asarray(m.params.segment[:40]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m2.params.rotation[:40]),
+                               np.asarray(m.params.rotation[:40]), atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    m, _, _ = _mini_model(rng, n=25, capacity=64)
+    path = str(tmp_path / "ck.npz")
+    m.save_checkpoint(path, iteration=123)
+    m2 = GaussianModel(sh_degree=3, num_class=2, capacity=64)
+    it = m2.restore_checkpoint(path)
+    assert it == 123
+    assert m2.num_alive == 25
+    np.testing.assert_allclose(np.asarray(m2.params.xyz),
+                               np.asarray(m.params.xyz))
+    assert m2.spatial_lr_scale == 2.0
+    assert m2.opt_state is not None
