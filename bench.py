@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Benchmark: differentiable rasterizer forward+backward throughput at 1080p.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Baseline context (BASELINE.md): the reference fork publishes no numbers; the
+upstream 3DGS paper claims >=30 fps 1080p *forward* rendering on an A6000
+(~62.2 Mpix/s).  We report fwd+bwd training throughput as the headline (the
+north-star metric in BASELINE.json) and use 62.2 Mpix/s as vs_baseline
+denominator, plus forward-only and preprocess numbers as extras.
+"""
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def build_scene(n_gauss: int, width: int, height: int, seed: int = 0):
+    from gsplat_tpu.core.cameras import Camera
+
+    rng = np.random.default_rng(seed)
+    fovx = math.radians(60.0)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * height / width)
+    cam = Camera(colmap_id=0, R=np.eye(3), T=np.array([0.0, 0.0, 8.0]),
+                 FoVx=fovx, FoVy=fovy,
+                 image=np.zeros((3, height, width), np.float32),
+                 image_name="bench", uid=0)
+    K = 16
+    g = dict(
+        means3d=jnp.asarray(rng.standard_normal((n_gauss, 3)).astype(np.float32) * 2.5),
+        scales=jnp.asarray(np.exp(rng.standard_normal((n_gauss, 3)).astype(np.float32) * 0.4 - 4.2)),
+        rotations=jnp.asarray(rng.standard_normal((n_gauss, 4)).astype(np.float32)),
+        opacities=jnp.asarray(rng.uniform(0.3, 0.9, n_gauss).astype(np.float32)),
+        shs=jnp.asarray(rng.standard_normal((n_gauss, K, 3)).astype(np.float32) * 0.3),
+    )
+    return cam, g
+
+
+def main():
+    from gsplat_tpu.ops.rasterize import RasterizeConfig, rasterize
+    from gsplat_tpu.ops import preprocess as pre_lib
+
+    W, H = 1920, 1080
+    N = 500_000
+    cam, g = build_scene(N, W, H)
+    bg = jnp.zeros(3)
+    cfg = RasterizeConfig(width=W, height=H, max_instances=1 << 22,
+                          backend="auto")
+    cam_kw = dict(
+        viewmatrix=jnp.asarray(cam.world_view_transform),
+        projmatrix=jnp.asarray(cam.full_proj_transform),
+        campos=jnp.asarray(cam.camera_center),
+        tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy, bg=bg,
+    )
+    tgt = jnp.zeros((3, H, W))
+
+    @jax.jit
+    def fwd(g):
+        out = rasterize(cfg, g["means3d"], g["scales"], g["rotations"],
+                        g["opacities"], g["shs"], **cam_kw)
+        return out["render"], out["num_rendered"], out["overflow"]
+
+    @jax.jit
+    def fwdbwd(g):
+        def loss(g):
+            out = rasterize(cfg, g["means3d"], g["scales"], g["rotations"],
+                            g["opacities"], g["shs"], **cam_kw)
+            return (jnp.mean(jnp.abs(out["render"] - tgt))
+                    + 0.1 * jnp.mean(out["depth"]))
+        l, grads = jax.value_and_grad(loss)(g)
+        return l, grads
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    r, nrend, ovf = fwd(g)
+    jax.block_until_ready(r)
+    print(f"# fwd compile {time.perf_counter() - t0:.0f}s "
+          f"num_rendered={int(nrend)}", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    l, grads = fwdbwd(g)
+    jax.block_until_ready(l)
+    print(f"# fwdbwd compile {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr, flush=True)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r, _, _ = fwd(g)
+    jax.block_until_ready(r)
+    t_fwd = (time.perf_counter() - t0) / iters
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        l, grads = fwdbwd(g)
+    jax.block_until_ready(jax.tree_util.tree_leaves(grads)[0])
+    t_fb = (time.perf_counter() - t0) / iters
+
+    # preprocess-only throughput (gaussians/s)
+    @jax.jit
+    def prep(g):
+        from gsplat_tpu.core import transforms as T
+        pre = pre_lib.preprocess(
+            g["means3d"], g["scales"], g["rotations"], g["opacities"],
+            g["shs"], 3, cam_kw["viewmatrix"], cam_kw["projmatrix"],
+            cam_kw["campos"], cam_kw["tan_fovx"], cam_kw["tan_fovy"], W, H)
+        return pre.radii
+    radii = prep(g); jax.block_until_ready(radii)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        radii = prep(g)
+    jax.block_until_ready(radii)
+    t_prep = (time.perf_counter() - t0) / iters
+
+    mpix = W * H / 1e6
+    value = mpix / t_fb
+    baseline = 62.2  # A6000 30fps@1080p forward-only proxy
+    print(json.dumps({
+        "metric": "rasterize_fwdbwd_mpix_per_s_1080p",
+        "value": round(value, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(value / baseline, 3),
+        "fwd_mpix_per_s": round(mpix / t_fwd, 2),
+        "preprocess_gauss_per_s": round(N / t_prep / 1e6, 2),
+        "num_rendered": int(nrend),
+        "overflow": bool(ovf),
+        "n_gaussians": N,
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

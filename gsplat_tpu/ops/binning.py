@@ -87,3 +87,40 @@ def bin_gaussians(pre: PreprocessOut, grid_x: int, grid_y: int,
         num_rendered=num_rendered.astype(jnp.int32),
         overflow=overflow,
     )
+
+
+def pad_tile_ranges(bins: BinningOut, chunk: int, capacity: int) -> BinningOut:
+    """Re-lay the sorted instance list so every tile's range starts at a
+    multiple of ``chunk`` (pad slots get the sentinel gaussian id).
+
+    This is the layout the Pallas kernels consume: chunk-aligned DMA on both
+    the forward read path and the backward per-instance gradient write path,
+    with no chunk ever straddling two tiles (so the backward's HBM writes are
+    race-free by construction — the TPU substitute for CUDA's atomicAdd,
+    SURVEY.md §5 'revision-safe accumulation').
+    """
+    T = bins.tile_start.shape[0]
+    padded_counts = ((bins.tile_count + chunk - 1) // chunk) * chunk
+    padded_start = jnp.cumsum(padded_counts) - padded_counts
+    total_padded = jnp.sum(padded_counts)
+    overflow = bins.overflow | (total_padded > capacity)
+
+    # position of sorted instance j in the padded layout
+    I = bins.gauss_id.shape[0]
+    tile_of_j = bins.tile_id  # [I], == num_tiles for pad entries
+    safe_tile = jnp.minimum(tile_of_j, T - 1)
+    rank = jnp.arange(I, dtype=jnp.int32) - bins.tile_start[safe_tile]
+    pos = padded_start[safe_tile] + rank
+    pos = jnp.where(tile_of_j < T, pos, capacity)  # drop pad entries
+
+    gid_padded = jnp.full((capacity,), jnp.int32(2 ** 30), jnp.int32)
+    gid_padded = gid_padded.at[pos].set(bins.gauss_id, mode="drop")
+    # unwritten pad slots keep 2^30 -> caller clamps to its sentinel row
+    return BinningOut(
+        gauss_id=gid_padded,
+        tile_id=bins.tile_id,
+        tile_start=padded_start.astype(jnp.int32),
+        tile_count=bins.tile_count,
+        num_rendered=bins.num_rendered,
+        overflow=overflow,
+    )

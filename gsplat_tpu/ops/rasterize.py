@@ -101,11 +101,16 @@ def rasterize(
     feats = jnp.concatenate(feats, axis=1)
 
     backend = _resolve_backend(config.backend)
+    overflow = bins.overflow
     if backend == "pallas":
-        from gsplat_tpu.ops.composite_pallas import composite_pallas
+        from gsplat_tpu.ops.binning import pad_tile_ranges
+        from gsplat_tpu.ops.composite_pallas import CHUNK, composite_pallas
+        bins = pad_tile_ranges(bins, CHUNK, config.max_instances)
+        overflow = bins.overflow
         img, T_final = composite_pallas(
             pre.means2d, pre.conic, pre.opacity, feats, bins,
             config.width, config.height,
+            interpret=jax.default_backend() != "tpu",
         )
     else:
         from gsplat_tpu.ops.composite_tiled import composite_tiled
@@ -122,7 +127,7 @@ def rasterize(
         "alpha": img[..., 4],
         "radii": pre.radii,
         "visibility": pre.visible,
-        "overflow": bins.overflow,
+        "overflow": overflow,
         "num_rendered": bins.num_rendered,
         "T_final": T_final,
     }

@@ -1,0 +1,117 @@
+"""Multi-chip camera-batch data parallelism.
+
+The reference is strictly single-GPU (SURVEY.md §2.3); this module adds the
+TPU-native scaling axis: a ``Mesh`` over the ``data`` dimension, one training
+camera per chip per step, gaussian parameters REPLICATED, per-gaussian
+gradients all-reduced with ``psum``/``pmean`` over ICI inside ``shard_map``
+(XLA overlaps the collective with the backward composite).  Densification
+statistics reduce the same way: gradients-norm sums via psum, screen-radius
+maxima via pmax — replacing the reference's single-camera accumulation
+(train.py:169-180) with a batched equivalent.
+
+Multi-host: `jax.distributed.initialize()` + a global mesh makes the same
+code span hosts (DCN between hosts, ICI within) — see scripts/train.py's
+``--data_parallel``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax>=0.8 new api
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)
+
+from gsplat_tpu.models import adam
+from gsplat_tpu.models.gaussians import GaussianParams
+from gsplat_tpu.ops.rasterize import RasterizeConfig
+from gsplat_tpu.train.trainer import make_loss_fn
+
+
+def make_data_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("data",))
+
+
+def stack_camera_batches(batches: list) -> dict:
+    """Stack per-camera batches along a leading 'data' axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+
+
+def make_parallel_train_step(mesh: Mesh, cfg: RasterizeConfig, opt,
+                             sh_degree: int, depth_loss_choice, use_seg: bool,
+                             bg: jnp.ndarray, track_stats: bool = True):
+    """Returns a jitted step(params, opt_state, aux, stacked_batch, lrs, key).
+
+    stacked_batch leaves have leading dim == mesh 'data' size; params /
+    optimizer / aux are replicated.  Per-device: render own camera -> local
+    grads; pmean over ICI; identical replicated Adam update on every chip.
+    """
+    loss_fn = make_loss_fn(cfg, opt, sh_degree, depth_loss_choice, use_seg, bg)
+
+    def device_step(params, opt_state, aux, batch, lrs, key):
+        # local shard: leading dim 1
+        b = jax.tree_util.tree_map(lambda x: x[0], batch)
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        Pn = params.xyz.shape[0]
+        m2d_off = jnp.zeros((Pn, 2), jnp.float32)
+        (loss, auxout), (gparams, g_m2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, m2d_off, b, key)
+
+        # gradient all-reduce over ICI (the reference's atomicAdd analogue
+        # across the chip dimension, SURVEY.md §2.3)
+        gparams = jax.lax.pmean(gparams, "data")
+        loss = jax.lax.pmean(loss, "data")
+
+        if track_stats:
+            scale = jnp.array([0.5 * cfg.width, 0.5 * cfg.height])
+            gnorm = jnp.linalg.norm(g_m2d * scale[None, :], axis=-1)
+            vis = auxout["radii"] > 0
+            aux = aux._replace(
+                xyz_gradient_accum=aux.xyz_gradient_accum + jax.lax.psum(
+                    jnp.where(vis, gnorm, 0.0), "data"),
+                denom=aux.denom + jax.lax.psum(
+                    vis.astype(jnp.float32), "data"),
+                max_radii2d=jax.lax.pmax(
+                    jnp.where(vis, jnp.maximum(
+                        aux.max_radii2d,
+                        auxout["radii"].astype(jnp.float32)),
+                        aux.max_radii2d), "data"),
+            )
+
+        lrs_tree = GaussianParams(**{k: lrs[k] for k in GaussianParams._fields})
+        params, opt_state = adam.update(gparams, opt_state, params, lrs_tree)
+        metrics = {
+            "loss": loss, "l1": jax.lax.pmean(auxout["l1"], "data"),
+            "overflow": jax.lax.pmax(
+                auxout["overflow"].astype(jnp.int32), "data"),
+            "num_rendered": jax.lax.pmax(auxout["num_rendered"], "data"),
+            "n_visible": jax.lax.pmax(
+                jnp.sum(auxout["visibility"]).astype(jnp.int32), "data"),
+        }
+        return params, opt_state, aux, metrics
+
+    rep = P()
+    sharded = P("data")
+    batch_spec = sharded
+    fn = shard_map(
+        device_step, mesh,
+        in_specs=(rep, rep, rep, batch_spec, rep, rep),
+        out_specs=(rep, rep, rep, rep),
+    )
+    return jax.jit(fn)

@@ -1,0 +1,89 @@
+"""Public render() API — mirror of reference gaussian_renderer/__init__.py:203-391.
+
+Takes a Camera/MiniCam + GaussianModel and returns the same dict the
+reference render() returns: {render, viewspace_points, visibility_filter,
+radii, depth, alpha, segment} — with ``depth`` max-normalized exactly like
+the reference (:375) and the raw composited depth additionally exposed as
+``depth_raw``.  ``bbox_mask`` reproduces the visualizer's crop path
+(:211-300) by suppressing masked-out gaussians; ``rgb_factors`` applies the
+appearance-embedding color correction (:377-381).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu.core import transforms as T
+from gsplat_tpu.models.gaussians import GaussianModel
+from gsplat_tpu.ops.rasterize import RasterizeConfig, rasterize
+
+
+def render(
+    viewpoint_camera,
+    pc: GaussianModel,
+    bg_color=None,
+    scaling_modifier: float = 1.0,
+    override_color: Optional[jnp.ndarray] = None,
+    bbox_mask: Optional[jnp.ndarray] = None,
+    rgb_factors: Optional[jnp.ndarray] = None,
+    backend: str = "auto",
+    max_instances: int = 0,
+    means2d_offset: Optional[jnp.ndarray] = None,
+    active_sh_degree: Optional[int] = None,
+):
+    bg = jnp.zeros(3) if bg_color is None else jnp.asarray(bg_color)
+    W = int(viewpoint_camera.image_width)
+    H = int(viewpoint_camera.image_height)
+    P = pc.params.xyz.shape[0]
+    if max_instances <= 0:
+        max_instances = max(1 << 18, int(2 ** np.ceil(np.log2(P * 8))))
+
+    cfg = RasterizeConfig(
+        width=W, height=H, sh_degree=(pc.active_sh_degree
+                                      if active_sh_degree is None
+                                      else active_sh_degree),
+        num_class=pc.num_class, max_instances=max_instances, backend=backend,
+    )
+    opac = T.opacity_activation(pc.params.opacity[:, 0])
+    if bbox_mask is not None:
+        opac = jnp.where(jnp.asarray(bbox_mask), opac, 0.0)
+
+    out = rasterize(
+        cfg,
+        pc.params.xyz,
+        T.scaling_activation(pc.params.scaling),
+        pc.params.rotation,
+        opac,
+        jnp.concatenate([pc.params.features_dc, pc.params.features_rest], axis=1),
+        viewmatrix=jnp.asarray(viewpoint_camera.world_view_transform),
+        projmatrix=jnp.asarray(viewpoint_camera.full_proj_transform),
+        campos=jnp.asarray(viewpoint_camera.camera_center),
+        tan_fovx=viewpoint_camera.tan_fovx,
+        tan_fovy=viewpoint_camera.tan_fovy,
+        bg=bg,
+        segments=T.segment_activation(pc.params.segment),
+        means2d_offset=means2d_offset,
+        scale_modifier=scaling_modifier,
+        colors_precomp=override_color,
+    )
+    image = out["render"]
+    if rgb_factors is not None:
+        image = image * rgb_factors.reshape(3, 1, 1)
+
+    depth_raw = out["depth"]
+    depth = depth_raw / (jnp.max(depth_raw) + 1e-5)  # reference :375
+
+    return {
+        "render": image,
+        "viewspace_points": means2d_offset,
+        "visibility_filter": out["visibility"],
+        "radii": out["radii"],
+        "depth": depth,
+        "depth_raw": depth_raw,
+        "alpha": out["alpha"],
+        "segment": out.get("segment"),
+        "overflow": out["overflow"],
+        "num_rendered": out["num_rendered"],
+    }

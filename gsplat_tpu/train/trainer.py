@@ -1,0 +1,264 @@
+"""Training step + loop.
+
+Behavioral spec: reference train.py:33-216 / train_segment.py (loss mix,
+densification schedule, opacity resets, checkpointing) — re-architected so
+the per-iteration work is ONE jit-compiled pure function over fixed-shape
+state (SURVEY.md §7.1); only densification boundaries and IO run on the host.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu.core import transforms as T
+from gsplat_tpu.models import adam
+from gsplat_tpu.models.densify import add_densification_stats, densify_and_prune, reset_opacity
+from gsplat_tpu.models.gaussians import GaussianModel, GaussianParams
+from gsplat_tpu.ops.rasterize import RasterizeConfig, rasterize
+from gsplat_tpu.train import losses as L
+from gsplat_tpu.train.schedules import make_lr_fn
+
+
+def camera_batch(cam, gt_depth=None, gt_seg=None):
+    """Host: extract the per-camera device arrays for a train step."""
+    b = {
+        "viewmatrix": jnp.asarray(cam.world_view_transform),
+        "projmatrix": jnp.asarray(cam.full_proj_transform),
+        "campos": jnp.asarray(cam.camera_center),
+        "tan_fovx": jnp.float32(cam.tan_fovx),
+        "tan_fovy": jnp.float32(cam.tan_fovy),
+        "gt_image": jnp.asarray(cam.image),
+    }
+    depth = gt_depth if gt_depth is not None else getattr(cam, "depth", None)
+    seg = gt_seg if gt_seg is not None else getattr(cam, "segment", None)
+    b["gt_depth"] = (jnp.asarray(depth) if depth is not None
+                     else jnp.zeros((1, cam.image_height, cam.image_width)))
+    b["has_depth"] = jnp.asarray(depth is not None)
+    b["gt_seg"] = (jnp.asarray(seg).astype(jnp.int32) if seg is not None
+                   else jnp.zeros((cam.image_height, cam.image_width), jnp.int32))
+    b["has_seg"] = jnp.asarray(seg is not None)
+    return b
+
+
+def make_loss_fn(cfg: RasterizeConfig, opt, sh_degree: int,
+                 depth_loss_choice: Optional[str], use_seg: bool,
+                 bg: jnp.ndarray):
+    """Loss on activated params for one camera. Mirrors train.py:110-141 +
+    train_segment.py:125-138."""
+
+    def loss_fn(params: GaussianParams, m2d_off, batch, key):
+        out = rasterize(
+            cfg,
+            params.xyz,
+            T.scaling_activation(params.scaling),
+            params.rotation,
+            T.opacity_activation(params.opacity[:, 0]),
+            jnp.concatenate([params.features_dc, params.features_rest], axis=1),
+            viewmatrix=batch["viewmatrix"],
+            projmatrix=batch["projmatrix"],
+            campos=batch["campos"],
+            tan_fovx=batch["tan_fovx"],
+            tan_fovy=batch["tan_fovy"],
+            bg=bg,
+            segments=(T.segment_activation(params.segment)
+                      if cfg.num_class > 0 else None),
+            means2d_offset=m2d_off,
+        )
+        image = out["render"]
+        gt = batch["gt_image"]
+        l1 = L.l1_loss(image, gt)
+        loss = ((1.0 - opt.lambda_dssim) * l1
+                + opt.lambda_dssim * (1.0 - L.ssim(image, gt)))
+
+        depth_loss = jnp.float32(0.0)
+        if depth_loss_choice is not None:
+            # reference normalizes depth by its max before the inverse-depth
+            # losses (gaussian_renderer/__init__.py:375 + train.py:114-141)
+            depth = out["depth"] / (jnp.max(out["depth"]) + 1e-5)
+            dl = L.depth_loss_dispatch(depth_loss_choice, key, depth,
+                                       batch["gt_depth"], opt)
+            depth_loss = jnp.where(batch["has_depth"], dl, 0.0)
+            loss = loss + depth_loss
+
+        seg_loss = jnp.float32(0.0)
+        if use_seg and cfg.num_class > 0:
+            sl = L.segment_loss(out["segment"], batch["gt_seg"]) * opt.lambda_segment
+            seg_loss = jnp.where(batch["has_seg"], sl, 0.0)
+            loss = loss + seg_loss
+
+        auxout = {
+            "l1": l1, "depth_loss": depth_loss, "seg_loss": seg_loss,
+            "radii": out["radii"], "visibility": out["visibility"],
+            "overflow": out["overflow"], "num_rendered": out["num_rendered"],
+            "render": image,
+        }
+        return loss, auxout
+
+    return loss_fn
+
+
+def make_train_step(cfg: RasterizeConfig, opt, sh_degree: int,
+                    depth_loss_choice: Optional[str], use_seg: bool,
+                    bg: jnp.ndarray, track_stats: bool = True):
+    loss_fn = make_loss_fn(cfg, opt, sh_degree, depth_loss_choice, use_seg, bg)
+
+    @jax.jit
+    def step(params, opt_state, aux, batch, lrs, key):
+        P = params.xyz.shape[0]
+        m2d_off = jnp.zeros((P, 2), jnp.float32)
+        (loss, auxout), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, m2d_off, batch, key)
+        gparams, g_m2d = grads
+
+        # densification stats: NDC-scaled mean2d grad norm
+        # (backward.cu:627-628; add_densification_stats gaussian_model.py:523)
+        if track_stats:
+            scale = jnp.array([0.5 * cfg.width, 0.5 * cfg.height])
+            aux = add_densification_stats(aux, g_m2d * scale[None, :],
+                                          auxout["radii"])
+
+        lrs_tree = GaussianParams(
+            xyz=lrs["xyz"], features_dc=lrs["features_dc"],
+            features_rest=lrs["features_rest"], scaling=lrs["scaling"],
+            rotation=lrs["rotation"], opacity=lrs["opacity"],
+            segment=lrs["segment"])
+        params, opt_state = adam.update(gparams, opt_state, params, lrs_tree)
+        metrics = {
+            "loss": loss, "l1": auxout["l1"],
+            "depth_loss": auxout["depth_loss"], "seg_loss": auxout["seg_loss"],
+            "overflow": auxout["overflow"],
+            "num_rendered": auxout["num_rendered"],
+            "n_visible": jnp.sum(auxout["visibility"]),
+        }
+        return params, opt_state, aux, metrics
+
+    return step
+
+
+class Trainer:
+    """Host-side loop: mirrors train.py's schedule (densify every 100 its
+    between 500 and 15k, opacity reset every 3k, SH degree up every 1k)."""
+
+    def __init__(self, model: GaussianModel, scene, opt, *, bg=None,
+                 depth_loss_choice=None, use_seg=False, backend="auto",
+                 max_instances=0, seed=0, model_path=None):
+        self.model = model
+        self.scene = scene
+        self.opt = opt
+        self.use_seg = use_seg
+        self.depth_loss_choice = depth_loss_choice
+        self.backend = backend
+        self.model_path = model_path
+        cams = scene.getTrainCameras()
+        W, H = cams[0].image_width, cams[0].image_height
+        P = model.capacity
+        if max_instances <= 0:
+            max_instances = max(1 << 18, int(2 ** np.ceil(np.log2(max(P, 2) * 8))))
+        self.max_instances = max_instances
+        self.bg = jnp.zeros(3) if bg is None else jnp.asarray(bg)
+        self.key = jax.random.PRNGKey(seed)
+        self.lr_fn = make_lr_fn(opt, model.spatial_lr_scale)
+        self._steps = {}
+        self._cfg = lambda sh: RasterizeConfig(
+            width=W, height=H, sh_degree=sh,
+            num_class=model.num_class if use_seg else 0,
+            max_instances=self.max_instances, backend=backend)
+        self.ema_loss = 0.0
+
+    def _step_fn(self, sh_degree):
+        k = (sh_degree, self.model.capacity)
+        if k not in self._steps:
+            self._steps[k] = make_train_step(
+                self._cfg(sh_degree), self.opt, sh_degree,
+                self.depth_loss_choice, self.use_seg, self.bg)
+        return self._steps[k]
+
+    def train(self, iterations=None, *, test_iterations=(), save_iterations=(),
+              checkpoint_iterations=(), log_every=10, callback=None,
+              first_iter=0):
+        opt = self.opt
+        iterations = iterations or opt.iterations
+        m = self.model
+        cams = list(self.scene.getTrainCameras())
+        stack = []
+        rng = np.random.default_rng(0)
+
+        batches = None  # lazy per-camera cache
+        t_start = time.time()
+        for it in range(first_iter + 1, iterations + 1):
+            if it % 1000 == 0:
+                m.oneup_sh_degree()
+            if not stack:
+                stack = list(range(len(cams)))
+            cam_idx = stack.pop(rng.integers(0, len(stack)))
+            cam = cams[cam_idx]
+            if batches is None:
+                batches = {}
+            if cam_idx not in batches:
+                batches[cam_idx] = camera_batch(cam)
+            batch = batches[cam_idx]
+
+            lrs = {k: jnp.float32(v) for k, v in self.lr_fn(it).items()}
+            self.key, k1, k2 = jax.random.split(self.key, 3)
+            step = self._step_fn(m.active_sh_degree)
+            m.params, m.opt_state, m.aux, metrics = step(
+                m.params, m.opt_state, m.aux, batch, lrs, k1)
+
+            if it % log_every == 0 or it == iterations:
+                loss = float(metrics["loss"])
+                self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+                if callback:
+                    callback(it, metrics, self)
+
+            # densification schedule (train.py:169-180)
+            if it < opt.densify_until_iter:
+                if (it > opt.densify_from_iter
+                        and it % opt.densification_interval == 0):
+                    size_thr = 20.0 if it > opt.opacity_reset_interval else 0.0
+                    m.params, m.aux, m.opt_state, dstats = densify_and_prune(
+                        m.params, m.aux, m.opt_state, k2,
+                        opt.densify_grad_threshold, 0.005,
+                        self.scene.cameras_extent, size_thr,
+                        opt.percent_dense,
+                        use_screen_size=it > opt.opacity_reset_interval)
+                    if bool(dstats.n_dropped):
+                        print(f"[it {it}] WARNING: {int(dstats.n_dropped)} "
+                              "densify targets dropped (capacity full)")
+                if it % opt.opacity_reset_interval == 0:
+                    m.params, m.opt_state = reset_opacity(
+                        m.params, m.aux, m.opt_state)
+
+            if it in save_iterations:
+                print(f"\n[ITER {it}] Saving Gaussians")
+                self.scene.save(it)
+            if it in checkpoint_iterations and self.model_path:
+                print(f"\n[ITER {it}] Saving Checkpoint")
+                m.save_checkpoint(
+                    os.path.join(self.model_path, f"chkpnt{it}.npz"), it)
+            if it in test_iterations:
+                self.report_test(it)
+        return time.time() - t_start
+
+    def report_test(self, it):
+        from gsplat_tpu.renderer import render as render_fn
+        test_cams = self.scene.getTestCameras()
+        if not test_cams:
+            return
+        l1s, psnrs = [], []
+        for cam in test_cams[: min(8, len(test_cams))]:
+            out = render_fn(cam, self.model, bg_color=self.bg,
+                            backend=self.backend,
+                            max_instances=self.max_instances)
+            img = jnp.clip(out["render"], 0, 1)
+            gt = jnp.asarray(cam.image)
+            l1s.append(float(L.l1_loss(img, gt)))
+            psnrs.append(float(L.psnr(img, gt)))
+        print(f"\n[ITER {it}] Evaluating test: L1 {np.mean(l1s):.4f} "
+              f"PSNR {np.mean(psnrs):.2f}")
+        return float(np.mean(psnrs))

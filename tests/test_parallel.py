@@ -1,0 +1,103 @@
+"""Multi-device data-parallel training step on the 8-device virtual CPU mesh
+(SURVEY.md §4 tier 4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gsplat_tpu.config import OptimizationParams
+from gsplat_tpu.models import adam
+from gsplat_tpu.models.gaussians import GaussianModel
+from gsplat_tpu.ops.rasterize import RasterizeConfig
+from gsplat_tpu.parallel.data_parallel import (
+    make_data_mesh, make_parallel_train_step, stack_camera_batches,
+)
+from gsplat_tpu.train.trainer import camera_batch, make_train_step
+
+from helpers import make_camera, make_gaussians
+
+
+def _model_from(rng, n=120, capacity=256):
+    m = GaussianModel(3, num_class=2, capacity=capacity)
+    pts = rng.standard_normal((n, 3)).astype(np.float32)
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    m.create_from_pcd(pts, cols, 1.0)
+    m.training_setup()
+    return m
+
+
+def _cam_with_gt(rng, angle_deg):
+    import math
+    cam = make_camera(32, 32)
+    cam.image = rng.uniform(size=(3, 32, 32)).astype(np.float32)
+    return cam
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_data_mesh()
+    assert mesh.shape["data"] == 8
+
+
+def test_parallel_step_runs_and_matches_mean_of_grads(rng):
+    mesh = make_data_mesh(4)
+    m = _model_from(rng)
+    opt = OptimizationParams()
+    cfg = RasterizeConfig(width=32, height=32, num_class=0,
+                          max_instances=1 << 12, k_max=256, backend="jnp")
+    bg = jnp.zeros(3)
+    pstep = make_parallel_train_step(mesh, cfg, opt, 3, None, False, bg)
+
+    cams = [_cam_with_gt(rng, a) for a in range(4)]
+    batches = [camera_batch(c) for c in cams]
+    stacked = stack_camera_batches(batches)
+    lrs = {k: jnp.float32(1e-3) for k in
+           ["xyz", "features_dc", "features_rest", "scaling", "rotation",
+            "opacity", "segment"]}
+    key = jax.random.PRNGKey(0)
+
+    p1, o1, a1, met = pstep(m.params, m.opt_state, m.aux, stacked, lrs, key)
+    assert np.isfinite(float(met["loss"]))
+
+    # single-device sequential average-gradient equivalence:
+    # run the per-camera loss grads manually and average
+    from gsplat_tpu.train.trainer import make_loss_fn
+    loss_fn = make_loss_fn(cfg, opt, 3, None, False, bg)
+    gsum = None
+    for i, b in enumerate(batches):
+        k = jax.random.fold_in(key, i)
+        g = jax.grad(lambda p: loss_fn(
+            p, jnp.zeros((m.capacity, 2)), b, k)[0])(m.params)
+        gsum = g if gsum is None else jax.tree_util.tree_map(
+            jnp.add, gsum, g)
+    gmean = jax.tree_util.tree_map(lambda x: x / 4, gsum)
+    st = adam.init(m.params)
+    from gsplat_tpu.models.gaussians import GaussianParams
+    lrs_tree = GaussianParams(**{k: lrs[k] for k in GaussianParams._fields})
+    pref, _ = adam.update(gmean, st, m.params, lrs_tree)
+
+    for k2 in GaussianParams._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(p1, k2)), np.asarray(getattr(pref, k2)),
+            atol=2e-5, err_msg=f"param {k2} diverges from mean-grad update")
+
+
+def test_parallel_densify_stats_accumulate(rng):
+    mesh = make_data_mesh(2)
+    m = _model_from(rng, n=60, capacity=128)
+    opt = OptimizationParams()
+    cfg = RasterizeConfig(width=32, height=32, num_class=0,
+                          max_instances=1 << 12, k_max=256, backend="jnp")
+    pstep = make_parallel_train_step(mesh, cfg, opt, 3, None, False,
+                                     jnp.zeros(3))
+    cams = [_cam_with_gt(rng, a) for a in range(2)]
+    stacked = stack_camera_batches([camera_batch(c) for c in cams])
+    lrs = {k: jnp.float32(1e-3) for k in
+           ["xyz", "features_dc", "features_rest", "scaling", "rotation",
+            "opacity", "segment"]}
+    _, _, aux, _ = pstep(m.params, m.opt_state, m.aux, stacked, lrs,
+                         jax.random.PRNGKey(1))
+    # each visible gaussian seen by both cameras -> denom == 2
+    denom = np.asarray(aux.denom)
+    assert denom.max() == 2.0
+    assert np.asarray(aux.max_radii2d).max() > 0

@@ -1,0 +1,116 @@
+"""End-to-end training on a synthetic NeRFstudio scene (SURVEY.md §4 tier 3:
+golden tests on a small synthetic scene) — exercises Scene loading, the jit
+train step, densification boundaries, save/checkpoint, and the CLI."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from make_synthetic_scene import make_scene
+
+
+@pytest.fixture(scope="module")
+def synth_scene(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scene")
+    return make_scene(str(d), n_gauss=150, n_cams=6, width=48, height=48,
+                      num_class=3, with_depth=True)
+
+
+def _make_args(scene_dir, model_dir, **over):
+    from argparse import Namespace
+    base = dict(source_path=scene_dir, model_path=model_dir, images="images",
+                resolution=-1, white_background=False, eval=False,
+                sh_degree=3, num_class=3, data_device="cpu",
+                using_depth=False, using_seg=False,
+                able_appearance_embedding=False)
+    base.update(over)
+    return Namespace(**base)
+
+
+def test_scene_loading(synth_scene, tmp_path):
+    from gsplat_tpu.data.scene import Scene
+    from gsplat_tpu.models.gaussians import GaussianModel
+
+    m = GaussianModel(3, num_class=3, capacity=1024)
+    args = _make_args(synth_scene, str(tmp_path / "model"))
+    scene = Scene(args, m, shuffle=False)
+    assert len(scene.getTrainCameras()) == 6
+    assert m.num_alive == 150
+    assert scene.cameras_extent > 0
+    cam = scene.getTrainCameras()[0]
+    assert cam.image.shape == (3, 48, 48)
+    # GT images should not be empty
+    assert cam.image.max() > 0.05
+
+
+def test_train_loop_converges(synth_scene, tmp_path):
+    import jax.numpy as jnp
+    from gsplat_tpu.config import OptimizationParams
+    from gsplat_tpu.data.scene import Scene
+    from gsplat_tpu.models.gaussians import GaussianModel
+    from gsplat_tpu.train.trainer import Trainer
+    from gsplat_tpu.train import losses as L
+    from gsplat_tpu.renderer import render
+
+    m = GaussianModel(3, num_class=3, capacity=1024)
+    args = _make_args(synth_scene, str(tmp_path / "model"),
+                      using_depth=True, using_seg=True)
+    scene = Scene(args, m, shuffle=False)
+    m.training_setup()
+    opt = OptimizationParams()
+    opt.densify_from_iter = 30
+    opt.densification_interval = 40
+    opt.opacity_reset_interval = 10_000
+    opt.densify_until_iter = 100
+
+    # NB: the reference's depth losses supervise INVERSE depth against a
+    # max-normalized GT (train.py:114-141) — replicated bit-for-bit, but on
+    # this tiny scene that term dominates and stalls RGB convergence in a
+    # 200-iter budget, so the convergence check trains RGB+segment only;
+    # the depth-loss paths are covered by test_losses.py.
+    trainer = Trainer(m, scene, opt, depth_loss_choice=None,
+                      use_seg=True, backend="jnp", max_instances=1 << 14,
+                      model_path=str(tmp_path / "model"))
+    losses = []
+    trainer.train(iterations=200, log_every=10,
+                  callback=lambda it, met, tr: losses.append(float(met["loss"])))
+    assert len(losses) >= 10
+    # loss must drop substantially on the synthetic scene
+    assert losses[-1] < losses[0] * 0.7, f"no convergence: {losses}"
+
+    # render a test view and check PSNR is sensible
+    cam = scene.getTrainCameras()[0]
+    out = render(cam, m, backend="jnp", max_instances=1 << 14)
+    img = jnp.clip(out["render"], 0, 1)
+    p = float(L.psnr(img, jnp.asarray(cam.image)))
+    assert p > 15.0, f"PSNR too low: {p}"
+    assert out["segment"].shape == (3, 48, 48)
+
+    # save/load roundtrip through scene.save
+    scene.save(200)
+    ply = os.path.join(str(tmp_path / "model"), "point_cloud",
+                       "iteration_200", "point_cloud.ply")
+    assert os.path.exists(ply)
+    m2 = GaussianModel(3, num_class=3, capacity=2048)
+    m2.load_ply(ply)
+    assert m2.num_alive == m.num_alive
+
+
+def test_train_cli(synth_scene, tmp_path):
+    from gsplat_tpu.scripts.train import main
+    model_dir = str(tmp_path / "cli_model")
+    main(["-s", synth_scene, "-m", model_dir,
+          "--iterations_override", "40",
+          "--backend", "jnp", "--max_instances", str(1 << 14),
+          "--capacity", "1024",
+          "--test_iterations", "40", "--save_iterations", "40"])
+    assert os.path.exists(os.path.join(model_dir, "cfg_args"))
+    assert os.path.exists(os.path.join(model_dir, "point_cloud",
+                                       "iteration_40", "point_cloud.ply"))
+    log = [json.loads(l) for l in
+           open(os.path.join(model_dir, "train_log.jsonl"))]
+    assert log and log[-1]["iter"] == 40
