@@ -76,46 +76,52 @@ def main():
         l, grads = jax.value_and_grad(loss)(g)
         return l, grads
 
-    # warmup / compile
+    def sync(x):
+        # block_until_ready is a no-op over the axon tunnel; a tiny host
+        # readback is the only reliable device sync
+        return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
+    # measure dispatch+readback baseline to subtract
+    nop = jax.jit(lambda x: x + 1)
+    z = nop(jnp.zeros((8, 128))); sync(z)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        z = nop(z)
+    sync(z)
+    t_base = time.perf_counter() - t0
+
+    def timed(f, *a, iters=10):
+        r = f(*a)
+        sync(r)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = f(*a)
+        sync(r)
+        return max((time.perf_counter() - t0 - t_base) / iters, 1e-9), r
+
     t0 = time.perf_counter()
     r, nrend, ovf = fwd(g)
-    jax.block_until_ready(r)
+    sync(r)
     print(f"# fwd compile {time.perf_counter() - t0:.0f}s "
           f"num_rendered={int(nrend)}", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     l, grads = fwdbwd(g)
-    jax.block_until_ready(l)
+    sync(l)
     print(f"# fwdbwd compile {time.perf_counter() - t0:.0f}s",
           file=sys.stderr, flush=True)
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r, _, _ = fwd(g)
-    jax.block_until_ready(r)
-    t_fwd = (time.perf_counter() - t0) / iters
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        l, grads = fwdbwd(g)
-    jax.block_until_ready(jax.tree_util.tree_leaves(grads)[0])
-    t_fb = (time.perf_counter() - t0) / iters
+    t_fwd, _ = timed(lambda g: fwd(g)[0], g)
+    t_fb, _ = timed(lambda g: fwdbwd(g)[0], g)
 
     # preprocess-only throughput (gaussians/s)
     @jax.jit
     def prep(g):
-        from gsplat_tpu.core import transforms as T
         pre = pre_lib.preprocess(
             g["means3d"], g["scales"], g["rotations"], g["opacities"],
             g["shs"], 3, cam_kw["viewmatrix"], cam_kw["projmatrix"],
             cam_kw["campos"], cam_kw["tan_fovx"], cam_kw["tan_fovy"], W, H)
         return pre.radii
-    radii = prep(g); jax.block_until_ready(radii)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        radii = prep(g)
-    jax.block_until_ready(radii)
-    t_prep = (time.perf_counter() - t0) / iters
+    t_prep, _ = timed(prep, g)
 
     mpix = W * H / 1e6
     value = mpix / t_fb

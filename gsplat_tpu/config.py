@@ -136,6 +136,11 @@ def get_combined_args(parser: ArgumentParser):
     args_cfgfile = eval(cfgfile_string)  # noqa: S307 (reference format)
     merged = vars(args_cfgfile).copy()
     for k, v in vars(args_cmdline).items():
-        if v is not None:
-            merged[k] = v
+        if v is not None or k not in merged:
+            # None-defaulted flags absent from the saved cfg still need to
+            # exist on the namespace (reference special-cases sub_scene /
+            # render_file the same way, arguments/__init__.py:134-139)
+            merged.setdefault(k, v)
+            if v is not None:
+                merged[k] = v
     return Namespace(**merged)

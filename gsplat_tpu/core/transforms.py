@@ -54,13 +54,26 @@ def covariance_from_scaling_rotation(scaling, scaling_modifier, rotation):
     Sigma = R S S^T R^T with R from the (normalized) quaternion — identical to
     both the CUDA path (forward.cu:118-152; note the glm transposes cancel to
     this form) and the python oracle (scene/gaussian_model.py:28-33).
+
+    Written component-wise on [P] vectors: a batched [P,3,3] einsum would hit
+    the MXU at 3/128 utilization; this form is pure full-width VPU work.
     """
-    L = build_scaling_rotation(scaling * scaling_modifier, rotation)
-    # fp32 accumulation: TPU bf16 matmul default breaks gradient parity
-    # (SURVEY.md §7.3 numerical-parity requirement).
-    Sigma = jnp.einsum("...ij,...kj->...ik", L, L,
-                       precision=jax.lax.Precision.HIGHEST)
-    return strip_symmetric(Sigma)
+    q = normalize(rotation, axis=-1)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)],
+        [2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)],
+        [2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)],
+    ]
+    s2 = [(scaling[..., j] * scaling_modifier) ** 2 for j in range(3)]
+
+    def sigma(a, b):
+        return (R[a][0] * R[b][0] * s2[0] + R[a][1] * R[b][1] * s2[1]
+                + R[a][2] * R[b][2] * s2[2])
+
+    return jnp.stack(
+        [sigma(0, 0), sigma(0, 1), sigma(0, 2),
+         sigma(1, 1), sigma(1, 2), sigma(2, 2)], axis=-1)
 
 
 def strip_symmetric(S):

@@ -54,14 +54,22 @@ def bin_gaussians(pre: PreprocessOut, grid_x: int, grid_y: int,
     inst_gauss = jnp.repeat(ids_ext, touched_ext, total_repeat_length=max_instances)
 
     # k-th touched tile of that gaussian -> (tx, ty) within its rect
-    # (duplicateWithKeys, rasterizer_impl.cu:70-111).
-    offs_ext = jnp.concatenate([offsets, num_rendered[None]])
-    k = jnp.arange(max_instances, dtype=jnp.int32) - offs_ext[inst_gauss]
-    rect_min = jnp.concatenate([pre.rect_min, jnp.zeros((1, 2), jnp.int32)])
-    rect_max = jnp.concatenate([pre.rect_max, jnp.ones((1, 2), jnp.int32)])
-    rw = jnp.maximum(rect_max[inst_gauss, 0] - rect_min[inst_gauss, 0], 1)
-    ty = rect_min[inst_gauss, 1] + k // rw
-    tx = rect_min[inst_gauss, 0] + k % rw
+    # (duplicateWithKeys, rasterizer_impl.cu:70-111).  All per-gaussian
+    # fields are packed into ONE [P+1,4] table so the instance expansion
+    # costs a single contiguous row gather instead of five random ones.
+    gtable = jnp.stack(
+        [offsets, pre.rect_min[:, 0], pre.rect_min[:, 1],
+         jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)],
+        axis=1).astype(jnp.int32)
+    gtable = jnp.concatenate(
+        [gtable,
+         jnp.stack([num_rendered.astype(jnp.int32), jnp.int32(0),
+                    jnp.int32(0), jnp.int32(1)])[None]], axis=0)
+    rows = gtable[inst_gauss]                          # [I,4]
+    k = jnp.arange(max_instances, dtype=jnp.int32) - rows[:, 0]
+    rw = rows[:, 3]
+    ty = rows[:, 2] + k // rw
+    tx = rows[:, 1] + k % rw
     is_pad = inst_gauss >= P
     tile = jnp.where(is_pad, num_tiles, ty * grid_x + tx).astype(jnp.int32)
 
@@ -85,42 +93,5 @@ def bin_gaussians(pre: PreprocessOut, grid_x: int, grid_y: int,
         tile_start=tile_start,
         tile_count=(tile_end - tile_start).astype(jnp.int32),
         num_rendered=num_rendered.astype(jnp.int32),
-        overflow=overflow,
-    )
-
-
-def pad_tile_ranges(bins: BinningOut, chunk: int, capacity: int) -> BinningOut:
-    """Re-lay the sorted instance list so every tile's range starts at a
-    multiple of ``chunk`` (pad slots get the sentinel gaussian id).
-
-    This is the layout the Pallas kernels consume: chunk-aligned DMA on both
-    the forward read path and the backward per-instance gradient write path,
-    with no chunk ever straddling two tiles (so the backward's HBM writes are
-    race-free by construction — the TPU substitute for CUDA's atomicAdd,
-    SURVEY.md §5 'revision-safe accumulation').
-    """
-    T = bins.tile_start.shape[0]
-    padded_counts = ((bins.tile_count + chunk - 1) // chunk) * chunk
-    padded_start = jnp.cumsum(padded_counts) - padded_counts
-    total_padded = jnp.sum(padded_counts)
-    overflow = bins.overflow | (total_padded > capacity)
-
-    # position of sorted instance j in the padded layout
-    I = bins.gauss_id.shape[0]
-    tile_of_j = bins.tile_id  # [I], == num_tiles for pad entries
-    safe_tile = jnp.minimum(tile_of_j, T - 1)
-    rank = jnp.arange(I, dtype=jnp.int32) - bins.tile_start[safe_tile]
-    pos = padded_start[safe_tile] + rank
-    pos = jnp.where(tile_of_j < T, pos, capacity)  # drop pad entries
-
-    gid_padded = jnp.full((capacity,), jnp.int32(2 ** 30), jnp.int32)
-    gid_padded = gid_padded.at[pos].set(bins.gauss_id, mode="drop")
-    # unwritten pad slots keep 2^30 -> caller clamps to its sentinel row
-    return BinningOut(
-        gauss_id=gid_padded,
-        tile_id=bins.tile_id,
-        tile_start=padded_start.astype(jnp.int32),
-        tile_count=bins.tile_count,
-        num_rendered=bins.num_rendered,
         overflow=overflow,
     )

@@ -2,41 +2,42 @@
 
 The two genuinely hot kernels of the framework (SURVEY.md §2.1 N3/N4;
 reference renderCUDA forward.cu:261-392 and backward renderCUDA
-backward.cu:415-639).  TPU-native redesign:
+backward.cu:415-639).  TPU-native design:
 
-- Grid = one program per 16x16 tile, executed with Mosaic pipelining.
-- Per tile, the depth-sorted instance list (chunk-aligned layout from
-  ``binning.pad_tile_ranges``) is streamed HBM->VMEM in double-buffered
-  CHUNK-sized DMAs.
+- Grid = one program per 16x16 tile.
+- Instance attributes (mean2d, conic, opacity, packed feature channels) live
+  in ONE row-major table laid out chunk-major ``[NCH, R, CHUNK]`` so each
+  chunk is a single contiguous double-buffered DMA HBM->VMEM; the kernel
+  slices rows in VMEM.
 - Inside a chunk everything is dense VPU/MXU work on [CHUNK, 256] arrays:
-  the front-to-back alpha recurrence becomes a cumulative product along the
-  chunk axis, and all output channels (rgb + depth + weight + segments) are
-  composited with ONE [C,CHUNK]x[CHUNK,256] matmul.
+  the front-to-back alpha recurrence is a log-step cumulative product along
+  the chunk axis (Mosaic has no cumprod primitive), and all output channels
+  (rgb + depth + weight + segments) are composited with ONE
+  [C,CHUNK]x[CHUNK,256] matmul.
 - The backward walks chunks in REVERSE, reconstructing the transmittance by
   division exactly like the CUDA backward (T = T/(1-a), safe because
   a <= 0.99 — backward.cu:466-552), and maintains the per-pixel suffix
   accumulator S_i = sum_{j>i} w_j g_j that yields
   dL/da_i = T_i g_i - (S_i + T_final dL/dT_final) / (1 - a_i).
-- Per-instance gradients are written back to disjoint chunk-aligned HBM
-  slices — each instance belongs to exactly one tile, so there are no
-  cross-program races (the TPU substitute for CUDA's atomicAdd,
-  backward.cu:575-636); the per-gaussian reduction is a segment-sum outside
-  the kernel.
+- Per-instance gradients stream back to disjoint chunk-aligned HBM slices of
+  a single output table — each instance belongs to exactly one tile, so
+  there are no cross-program races (the TPU substitute for CUDA's atomicAdd,
+  backward.cu:575-636); the per-gaussian reduction is the gather's own
+  scatter-add adjoint outside the kernel.
 
 Deliberate deviation from CUDA: the 0.99 alpha clamp is treated as a real
 min() under differentiation (zero gradient on the clamped branch), matching
 jax.grad of the jnp oracle; backward.cu ignores the clamp in its chain rule.
 
-Pixel-terminaton parity: a pixel stops compositing at the first instance
+Pixel-termination parity: a pixel stops compositing at the first instance
 whose candidate transmittance would drop below 1e-4 (that instance is
-skipped), reproduced here with cumulative masks; the forward emits the CUDA
-``n_contrib`` (position of the last contributing instance) which exactly
-gates the backward recomputation.
+skipped; forward.cu:351-358), reproduced with cumulative masks carried
+across chunks; the forward emits the CUDA ``n_contrib`` (position of the
+last contributing instance) which exactly gates the backward recomputation.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,11 +53,9 @@ CHUNK = 256                  # instances per DMA/compute batch
 _HI = jax.lax.Precision.HIGHEST
 
 
-
 def _scan_ax0(x, op, pad_val, reverse=False):
     """Inclusive associative scan along axis 0 (static length) as log-step
-    shift+op — Mosaic has no cumsum/cumprod primitive, and for K=256 this is
-    8 VPU ops."""
+    shift+op — 8 VPU ops for K=256."""
     K = x.shape[0]
     shift = 1
     while shift < K:
@@ -96,19 +95,19 @@ def _pixel_coords(t, grid_x: int):
     return px, py
 
 
-def _chunk_alpha(xy, co, px, py, valid):
-    """Alpha evaluation for one chunk.
+def _chunk_alpha(buf, px, py, valid):
+    """Alpha evaluation for one chunk from the packed attribute rows.
 
-    xy: [2, K]; co: [4, K] (conic a,b,c + opacity); px/py: [1,256];
-    valid: [K,1] bool.  Returns (a [K,256] masked alpha, extras for bwd).
+    buf: [R, K] (rows 0-1 xy, 2-4 conic, 5 opacity); px/py: [1,256];
+    valid: [K,1] bool.  Returns (a [K,256] masked alpha, mask, extras).
     Rules: power>0 skip, alpha<1/255 skip, clamp at 0.99 (forward.cu:338-350).
     """
-    dx = xy[0][:, None] - px          # [K,256]
-    dy = xy[1][:, None] - py
-    A = co[0][:, None]
-    B = co[1][:, None]
-    Cc = co[2][:, None]
-    op = co[3][:, None]
+    dx = buf[0][:, None] - px          # [K,256]
+    dy = buf[1][:, None] - py
+    A = buf[2][:, None]
+    B = buf[3][:, None]
+    Cc = buf[4][:, None]
+    op = buf[5][:, None]
     power = -0.5 * (A * dx * dx + Cc * dy * dy) - B * dx * dy
     G = jnp.exp(power)
     raw = op * G
@@ -118,10 +117,13 @@ def _chunk_alpha(xy, co, px, py, valid):
     return a, mask, (dx, dy, G, raw)
 
 
-def _forward_kernel(grid_x: int, C: int, CP: int,
-                    ranges_ref, xy_ref, co_ref, ft_ref,
-                    img_ref,
-                    xy_buf, co_buf, ft_buf, sems):
+# rows 0:2 = mean2d, 2:5 = conic, 5 = opacity, 6:6+C = features
+ATTR_BASE = 6
+
+
+def _forward_kernel(grid_x: int, C: int, R: int,
+                    ranges_ref, attr_ref, img_ref,
+                    buf, sems):
     # img_ref packs [C composited channels; T_final; n_contrib] as C+2 rows
     # so the output block satisfies Mosaic's (8,128)-conformal rule.
     t = pl.program_id(0)
@@ -131,22 +133,12 @@ def _forward_kernel(grid_x: int, C: int, CP: int,
     px, py = _pixel_coords(t, grid_x)
 
     def dma(slot, c):
-        # instance arrays are [NCH, rows, CHUNK]: chunk index on the untiled
-        # leading dim, so dynamic indexing needs no lane-divisibility proof
-        ci = chunk0 + c
-        return [
-            pltpu.make_async_copy(xy_ref.at[ci],
-                                  xy_buf.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(co_ref.at[ci],
-                                  co_buf.at[slot], sems.at[slot, 1]),
-            pltpu.make_async_copy(ft_ref.at[ci],
-                                  ft_buf.at[slot], sems.at[slot, 2]),
-        ]
+        return pltpu.make_async_copy(attr_ref.at[chunk0 + c],
+                                     buf.at[slot], sems.at[slot])
 
     @pl.when(nchunks > 0)
     def _():
-        for d in dma(0, 0):
-            d.start()
+        dma(0, 0).start()
 
     def body(c, carry):
         T, done_carry, nc, acc = carry
@@ -154,56 +146,59 @@ def _forward_kernel(grid_x: int, C: int, CP: int,
 
         @pl.when(c + 1 < nchunks)
         def _():
-            for d in dma((c + 1) % 2, c + 1):
-                d.start()
+            dma((c + 1) % 2, c + 1).start()
 
-        for d in dma(slot, c):
-            d.wait()
+        dma(slot, c).wait()
 
         k_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
         pos = c * CHUNK + k_idx          # 0-based position in tile list
         valid = pos < count
-        a, mask, _ = _chunk_alpha(xy_buf[slot], co_buf[slot], px, py, valid)
+        a, mask, _ = _chunk_alpha(buf[slot], px, py, valid)
         mask = mask & (done_carry < 1)   # pixel already terminated earlier
         a = jnp.where(mask, a, 0.0)
 
-        # candidate transmittance after each instance (plain cumprod is exact
-        # up to the first trigger, which is all the trigger search needs)
+        # ONE scan covers the whole termination semantics.  With the plain
+        # cumulative transmittance T_incl (non-increasing along the chunk),
+        # "contributes" is exactly mask & (T_incl >= eps): the first masked
+        # instance that would push T below eps is the CUDA trigger, itself
+        # skipped, and everything after it is below eps too (forward.cu:
+        # 351-358).  The frozen exit transmittance is the smallest T_incl
+        # still >= eps (or the entry T when the first instance triggers).
         T_incl = T * _cumprod0(1.0 - a)
-        trigger = mask & (T_incl < T_EPS)
-        done = _cumsum0(trigger.astype(jnp.float32)) > 0
-        contrib = mask & (~done)
-
+        contrib = mask & (T_incl >= T_EPS)
         a_eff = jnp.where(contrib, a, 0.0)
-        T_incl_eff = T * _cumprod0(1.0 - a_eff)
-        T_excl_eff = jnp.where(a_eff > 0.0, T_incl_eff / (1.0 - a_eff),
-                               T_incl_eff)
-        w = a_eff * T_excl_eff           # [K,256]
+        T_excl = jnp.where(a_eff > 0.0, T_incl / (1.0 - a_eff), T_incl)
+        w = a_eff * T_excl               # [K,256]
+
+        T_frozen = jnp.minimum(
+            T, jnp.min(jnp.where(T_incl >= T_EPS, T_incl, jnp.inf),
+                       axis=0, keepdims=True))
+        T_new = jnp.maximum(T_incl[-1:], T_frozen)
+        done_carry = jnp.maximum(done_carry,
+                                 (T_incl[-1:] < T_EPS).astype(jnp.int32))
 
         acc = acc + jax.lax.dot_general(
-            ft_buf[slot], w, (((1,), (0,)), ((), ())), precision=_HI)
+            buf[slot, ATTR_BASE:ATTR_BASE + C], w,
+            (((1,), (0,)), ((), ())), precision=_HI)
 
         # n_contrib: 1-based position of last contributor (forward.cu:356-379)
         nc = jnp.maximum(nc, jnp.max(
             jnp.where(contrib, pos + 1, 0), axis=0, keepdims=True))
-        done_carry = jnp.maximum(done_carry, done[-1:].astype(jnp.int32))
-        return T_incl_eff[-1:], done_carry, nc, acc
+        return T_new, done_carry, nc, acc
 
     T, _done, nc, acc = jax.lax.fori_loop(
         0, nchunks, body,
         (jnp.ones((1, TILE_PIX), jnp.float32),
          jnp.zeros((1, TILE_PIX), jnp.int32),
          jnp.zeros((1, TILE_PIX), jnp.int32),
-         jnp.zeros((CP, TILE_PIX), jnp.float32)))
-    img_ref[0] = jnp.concatenate([acc[0:C], T, nc.astype(jnp.float32)], axis=0)
+         jnp.zeros((C, TILE_PIX), jnp.float32)))
+    img_ref[0] = jnp.concatenate([acc, T, nc.astype(jnp.float32)], axis=0)
 
 
-def _backward_kernel(grid_x: int, C: int, CP: int,
-                     ranges_ref, xy_ref, co_ref, ft_ref,
-                     fwd_ref, dpk_ref,
-                     dxy_ref, dco_ref, dft_ref,
-                     xy_buf, co_buf, ft_buf,
-                     dxy_buf, dco_buf, dft_buf, sems, osems):
+def _backward_kernel(grid_x: int, C: int, R: int,
+                     ranges_ref, attr_ref, fwd_ref, dpk_ref,
+                     dattr_ref,
+                     buf, dbuf, sems, osems):
     t = pl.program_id(0)
     chunk0 = ranges_ref[t % 8, 0]
     count = ranges_ref[t % 8, 1]
@@ -213,38 +208,21 @@ def _backward_kernel(grid_x: int, C: int, CP: int,
     n_contrib = fwd_ref[0, C + 1][None, :]   # [1,256] float positions (exact)
     T_final = fwd_ref[0, C][None, :]         # [1,256]
     d_out = dpk_ref[0, 0:C]                  # [C,256]
-    d_out_p = jnp.concatenate(
-        [d_out, jnp.zeros((CP - C, TILE_PIX), jnp.float32)], axis=0) \
-        if CP > C else d_out                 # [CP,256]
     d_tf = dpk_ref[0, C][None, :]
     bg_term = T_final * d_tf                 # the T_final (1-a) chain term
 
     def dma_in(slot, c):
-        ci = chunk0 + c
-        return [
-            pltpu.make_async_copy(xy_ref.at[ci],
-                                  xy_buf.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(co_ref.at[ci],
-                                  co_buf.at[slot], sems.at[slot, 1]),
-            pltpu.make_async_copy(ft_ref.at[ci],
-                                  ft_buf.at[slot], sems.at[slot, 2]),
-        ]
+        return pltpu.make_async_copy(attr_ref.at[chunk0 + c],
+                                     buf.at[slot], sems.at[slot])
 
     def dma_out(slot, c):
-        ci = chunk0 + c
-        return [
-            pltpu.make_async_copy(dxy_buf.at[slot],
-                                  dxy_ref.at[ci], osems.at[slot, 0]),
-            pltpu.make_async_copy(dco_buf.at[slot],
-                                  dco_ref.at[ci], osems.at[slot, 1]),
-            pltpu.make_async_copy(dft_buf.at[slot],
-                                  dft_ref.at[ci], osems.at[slot, 2]),
-        ]
+        return pltpu.make_async_copy(dbuf.at[slot],
+                                     dattr_ref.at[chunk0 + c],
+                                     osems.at[slot])
 
     @pl.when(nchunks > 0)
     def _():
-        for d in dma_in(0, nchunks - 1):
-            d.start()
+        dma_in(0, nchunks - 1).start()
 
     def body(i, carry):
         # i counts processed chunks; walk reverse: chunk index c
@@ -254,35 +232,32 @@ def _backward_kernel(grid_x: int, C: int, CP: int,
 
         @pl.when(i + 1 < nchunks)
         def _():
-            for d in dma_in((i + 1) % 2, c - 1):
-                d.start()
+            dma_in((i + 1) % 2, c - 1).start()
 
-        for d in dma_in(slot, c):
-            d.wait()
+        dma_in(slot, c).wait()
 
         k_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
         pos = c * CHUNK + k_idx
         valid = pos < count
-        a, mask, (dx, dy, G, raw) = _chunk_alpha(
-            xy_buf[slot], co_buf[slot], px, py, valid)
+        a, mask, (dx, dy, G, raw) = _chunk_alpha(buf[slot], px, py, valid)
         contrib = mask & ((pos + 1).astype(jnp.float32) <= n_contrib)
         a_eff = jnp.where(contrib, a, 0.0)
         one_m = 1.0 - a_eff
 
         # Suffix products within the chunk reconstruct T (division trick,
         # backward.cu:466-478): T_excl_i = T_after / prod_{j>=i} (1-a_j).
-        suf = _rev_cumprod0(one_m)  # [K,256]
+        suf = _rev_cumprod0(one_m)           # [K,256]
         T_excl = T_after / suf
         w = a_eff * T_excl
 
         # g_i = <feat_i, dL/dout> per pixel: [K,256]
-        g = jax.lax.dot_general(ft_buf[slot], d_out_p,
+        g = jax.lax.dot_general(buf[slot, ATTR_BASE:ATTR_BASE + C], d_out,
                                 (((0,), (0,)), ((), ())), precision=_HI)
 
-        # Suffix sums S_i = sum_{j>i} w_j g_j (within-chunk reversed exclusive
-        # cumsum + cross-chunk carry).
+        # Suffix sums S_i = sum_{j>i} w_j g_j (within-chunk reversed
+        # inclusive cumsum made exclusive + cross-chunk carry).
         wg = w * g
-        suf_wg = _rev_cumsum0(wg)  # inclusive at i
+        suf_wg = _rev_cumsum0(wg)            # inclusive at i
         S_i = S + (suf_wg - wg)
 
         da = jnp.where(contrib,
@@ -292,34 +267,27 @@ def _backward_kernel(grid_x: int, C: int, CP: int,
         unclamped = raw < ALPHA_MAX           # min() gating (see module doc)
         d_op = jnp.where(contrib & unclamped, G * da, 0.0)
         dpow = jnp.where(contrib & unclamped, raw * da, 0.0)
-        A = co_buf[slot][0][:, None]
-        B = co_buf[slot][1][:, None]
-        Cc = co_buf[slot][2][:, None]
-        d_dx = dpow * (-(A * dx + B * dy))
-        d_dy = dpow * (-(Cc * dy + B * dx))
-        d_conA = dpow * (-0.5 * dx * dx)
-        d_conB = dpow * (-dx * dy)
-        d_conC = dpow * (-0.5 * dy * dy)
+        A = buf[slot, 2][:, None]
+        B = buf[slot, 3][:, None]
+        Cc = buf[slot, 4][:, None]
 
-        # the write buffers are reused every 2 iterations — drain the DMA
+        # the write buffer is reused every 2 iterations — drain the DMA
         # issued from this slot two iterations ago BEFORE overwriting
         @pl.when(i >= 2)
         def _():
-            for d in dma_out(slot, c + 2):
-                d.wait()
+            dma_out(slot, c + 2).wait()
 
-        dxy_buf[slot, 0] = jnp.sum(d_dx, axis=1)
-        dxy_buf[slot, 1] = jnp.sum(d_dy, axis=1)
-        dco_buf[slot, 0] = jnp.sum(d_conA, axis=1)
-        dco_buf[slot, 1] = jnp.sum(d_conB, axis=1)
-        dco_buf[slot, 2] = jnp.sum(d_conC, axis=1)
-        dco_buf[slot, 3] = jnp.sum(d_op, axis=1)
-        # d_feat [CP,K] = d_out_p [CP,256] @ w^T [256,K]
-        dft_buf[slot] = jax.lax.dot_general(
-            d_out_p, w, (((1,), (1,)), ((), ())), precision=_HI)
+        dbuf[slot, 0] = jnp.sum(dpow * (-(A * dx + B * dy)), axis=1)
+        dbuf[slot, 1] = jnp.sum(dpow * (-(Cc * dy + B * dx)), axis=1)
+        dbuf[slot, 2] = jnp.sum(dpow * (-0.5 * dx * dx), axis=1)
+        dbuf[slot, 3] = jnp.sum(dpow * (-dx * dy), axis=1)
+        dbuf[slot, 4] = jnp.sum(dpow * (-0.5 * dy * dy), axis=1)
+        dbuf[slot, 5] = jnp.sum(d_op, axis=1)
+        # d_feat [C,K] = d_out [C,256] @ w^T [256,K]
+        dbuf[slot, ATTR_BASE:ATTR_BASE + C] = jax.lax.dot_general(
+            d_out, w, (((1,), (1,)), ((), ())), precision=_HI)
 
-        for d in dma_out(slot, c):
-            d.start()
+        dma_out(slot, c).start()
 
         # carries for the next (earlier) chunk: its exit transmittance is the
         # entry transmittance of this chunk (T_excl[0]); its suffix sum gains
@@ -333,13 +301,11 @@ def _backward_kernel(grid_x: int, C: int, CP: int,
     # drain outstanding output DMAs
     @pl.when(nchunks >= 1)
     def _():
-        for d in dma_out((nchunks - 1) % 2, 0):
-            d.wait()
+        dma_out((nchunks - 1) % 2, 0).wait()
 
     @pl.when(nchunks >= 2)
     def _():
-        for d in dma_out(nchunks % 2, 1):
-            d.wait()
+        dma_out(nchunks % 2, 1).wait()
 
 
 # --- host-side wrapper -------------------------------------------------------
@@ -349,14 +315,14 @@ def _float0_zeros(x):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _composite_core(static, xy_T, co_T, ft_T, ranges):
-    out, _ = _composite_fwd(static, xy_T, co_T, ft_T, ranges)
-    return out
+def _composite_core(static, attr, ranges):
+    packed, _ = _composite_fwd(static, attr, ranges)
+    return packed
 
 
-def _pallas_forward(static, xy_T, co_T, ft_T, ranges):
-    grid_x, num_tiles, C, CP, I, interpret = static
-    kernel = functools.partial(_forward_kernel, grid_x, C, CP)
+def _pallas_forward(static, attr, ranges):
+    grid_x, num_tiles, C, R, NCH, interpret = static
+    kernel = functools.partial(_forward_kernel, grid_x, C, R)
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -364,74 +330,53 @@ def _pallas_forward(static, xy_T, co_T, ft_T, ranges):
             pl.BlockSpec((8, 2), lambda t: (t // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, C + 2, TILE_PIX),
-                               lambda t: (t, 0, 0)),
+        out_specs=pl.BlockSpec((1, C + 2, TILE_PIX), lambda t: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, CHUNK), jnp.float32),
-            pltpu.VMEM((2, 4, CHUNK), jnp.float32),
-            pltpu.VMEM((2, CP, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, R, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         out_shape=jax.ShapeDtypeStruct((num_tiles, C + 2, TILE_PIX),
                                        jnp.float32),
         interpret=interpret,
-    )(ranges, xy_T, co_T, ft_T)
+    )(ranges, attr)
 
 
-def _composite_fwd(static, xy_T, co_T, ft_T, ranges):
-    packed = _pallas_forward(static, xy_T, co_T, ft_T, ranges)
-    return packed, (xy_T, co_T, ft_T, ranges, packed)
+def _composite_fwd(static, attr, ranges):
+    packed = _pallas_forward(static, attr, ranges)
+    return packed, (attr, ranges, packed)
 
 
 def _composite_bwd(static, res, d_packed):
-    grid_x, num_tiles, C, CP, I, interpret = static
-    xy_T, co_T, ft_T, ranges, packed = res
-    kernel = functools.partial(_backward_kernel, grid_x, C, CP)
-    d_xy, d_co, d_ft = pl.pallas_call(
+    grid_x, num_tiles, C, R, NCH, interpret = static
+    attr, ranges, packed = res
+    kernel = functools.partial(_backward_kernel, grid_x, C, R)
+    d_attr = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((8, 2), lambda t: (t // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, C + 2, TILE_PIX), lambda t: (t, 0, 0)),
             pl.BlockSpec((1, C + 2, TILE_PIX), lambda t: (t, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, CHUNK), jnp.float32),
-            pltpu.VMEM((2, 4, CHUNK), jnp.float32),
-            pltpu.VMEM((2, CP, CHUNK), jnp.float32),
-            pltpu.VMEM((2, 2, CHUNK), jnp.float32),
-            pltpu.VMEM((2, 4, CHUNK), jnp.float32),
-            pltpu.VMEM((2, CP, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, R, CHUNK), jnp.float32),
+            pltpu.VMEM((2, R, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((I // CHUNK, 2, CHUNK), jnp.float32),
-            jax.ShapeDtypeStruct((I // CHUNK, 4, CHUNK), jnp.float32),
-            jax.ShapeDtypeStruct((I // CHUNK, CP, CHUNK), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((NCH, R, CHUNK), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(ranges, xy_T, co_T, ft_T, packed, d_packed)
-    # unwritten capacity tail may hold garbage; it maps to the sentinel
-    # gaussian row and is dropped by the caller's segment-sum, but NaNs there
-    # would still poison a debug sum — scrub them.
-    d_xy = jnp.where(jnp.isfinite(d_xy), d_xy, 0.0)
-    d_co = jnp.where(jnp.isfinite(d_co), d_co, 0.0)
-    d_ft = jnp.where(jnp.isfinite(d_ft), d_ft, 0.0)
-    return d_xy, d_co, d_ft, _float0_zeros(ranges)
+    )(ranges, attr, packed, d_packed)
+    # chunks beyond every tile's range are never written; they map to the
+    # sentinel gaussian row and are dropped by the gather adjoint, but NaN
+    # garbage there would still poison debug sums — scrub.
+    d_attr = jnp.where(jnp.isfinite(d_attr), d_attr, 0.0)
+    return d_attr, _float0_zeros(ranges)
 
 
 _composite_core.defvjp(_composite_fwd, _composite_bwd)
@@ -440,9 +385,14 @@ _composite_core.defvjp(_composite_fwd, _composite_bwd)
 def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
                      height: int, interpret: bool = False):
     """Drop-in replacement for composite_tiled (same contract):
-    returns (img [H,W,C] pre-background, T_final [H,W]).
+    returns (img [H,W,C] pre-background, T_final [H,W], overflow []).
 
-    ``bins`` must come from ``binning.pad_tile_ranges`` (chunk-aligned).
+    ``bins`` is the raw sorted output of ``binning.bin_gaussians``; the
+    chunk-aligned padded layout the kernels need is constructed HERE at chunk
+    granularity (16k elements, not 4M) and realized with two wide-row
+    gathers — TPU scalar gathers and searchsorted over millions of queries
+    are ~50x slower than row gathers, so everything per-slot is derived by
+    broadcasting per-chunk values.
     """
     grid_x = (width + TILE_X - 1) // TILE_X
     grid_y = (height + TILE_Y - 1) // TILE_Y
@@ -450,28 +400,54 @@ def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
     P = means2d.shape[0]
     C = feats.shape[1]
     I = bins.gauss_id.shape[0]
-
     assert I % CHUNK == 0, "max_instances must be a multiple of CHUNK"
     NCH = I // CHUNK
+    R = ((ATTR_BASE + C + 7) // 8) * 8
+    T = num_tiles
 
-    # sentinel row P: zero opacity -> no contribution, zero grads
-    pad = lambda x: jnp.pad(x, [(0, 1)] + [(0, 0)] * (x.ndim - 1))
-    gid = jnp.minimum(bins.gauss_id, P)
-    to3 = lambda x: x.reshape(NCH, CHUNK, -1).swapaxes(1, 2)  # [NCH,rows,CHUNK]
-    xy_T = to3(pad(means2d)[gid])                                 # [NCH,2,CHUNK]
-    co_T = to3(jnp.concatenate(
-        [pad(conic)[gid], pad(opacity[:, None])[gid]], axis=1))   # [NCH,4,CHUNK]
-    CP = ((C + 7) // 8) * 8  # sublane-align feature rows for VMEM tiling
-    feats_p = jnp.pad(pad(feats)[gid], ((0, 0), (0, CP - C)))
-    ft_T = to3(feats_p)                                           # [NCH,CP,CHUNK]
-    ranges = jnp.stack([bins.tile_start // CHUNK, bins.tile_count], axis=1)
+    # --- chunk-granular padded layout -----------------------------------
+    tile_chunks = (bins.tile_count + CHUNK - 1) // CHUNK           # [T]
+    chunk_start = jnp.cumsum(tile_chunks) - tile_chunks            # [T]
+    total_chunks = jnp.sum(tile_chunks)
+    overflow = bins.overflow | (total_chunks > NCH)
+
+    # chunk index -> owning tile (sentinel row T absorbs the tail)
+    tiles_ext = jnp.arange(T + 1, dtype=jnp.int32)
+    tc_ext = jnp.concatenate([tile_chunks, jnp.array([NCH], jnp.int32)])
+    chunk_tile = jnp.repeat(tiles_ext, tc_ext, total_repeat_length=NCH)
+    cs_ext = jnp.concatenate([chunk_start, total_chunks[None]])
+    ts_ext = jnp.concatenate([bins.tile_start, jnp.array([0], jnp.int32)])
+    cnt_ext = jnp.concatenate([bins.tile_count, jnp.array([0], jnp.int32)])
+    chunk_seq = jnp.arange(NCH, dtype=jnp.int32) - cs_ext[chunk_tile]
+    src_base = ts_ext[chunk_tile] + chunk_seq * CHUNK              # [NCH]
+    count_of_chunk = cnt_ext[chunk_tile]                           # [NCH]
+
+    lane = jnp.arange(CHUNK, dtype=jnp.int32)
+    rank = chunk_seq[:, None] * CHUNK + lane[None, :]              # [NCH,CHUNK]
+    valid = rank < count_of_chunk[:, None]
+    src = jnp.clip(jnp.where(valid, src_base[:, None] + lane[None, :], 0),
+                   0, I - 1).reshape(-1)
+
+    # --- packed attribute table, ONE small-source wide gather -----------
+    # TPU gather throughput collapses when the SOURCE is large (~175 ms for
+    # a 4M-row gather from a 256MB source vs ~27 ms from a 32MB one), so we
+    # compose the padding permutation in index space (scalar gathers from
+    # small int32 arrays) and do a single table gather at the end.
+    table = jnp.concatenate(
+        [means2d, conic, opacity[:, None], feats], axis=1)         # [P, 6+C]
+    table = jnp.pad(table, ((0, 1), (0, R - ATTR_BASE - C)))       # sentinel
+    gid_padded = jnp.where(valid.reshape(-1),
+                           jnp.minimum(bins.gauss_id[src], P), P)
+    attr = table[gid_padded]                                       # [I, R]
+    attr = attr.reshape(NCH, CHUNK, R).swapaxes(1, 2)              # [NCH,R,CHUNK]
+
+    ranges = jnp.stack([chunk_start, bins.tile_count], axis=1)
     pad_rows = (-ranges.shape[0]) % 8
     if pad_rows:
         ranges = jnp.pad(ranges, ((0, pad_rows), (0, 0)))
 
-    static = (grid_x, num_tiles, C, CP, I, interpret)
-    packed = _composite_core(
-        static, xy_T, co_T, ft_T, jax.lax.stop_gradient(ranges))
+    static = (grid_x, num_tiles, C, R, NCH, interpret)
+    packed = _composite_core(static, attr, jax.lax.stop_gradient(ranges))
     img_t = packed[:, 0:C]
     tf_t = packed[:, C]
 
@@ -480,4 +456,4 @@ def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
         grid_y * TILE_Y, grid_x * TILE_X, C)
     tf = tf_t.reshape(grid_y, grid_x, TILE_Y, TILE_X)
     tf = tf.transpose(0, 2, 1, 3).reshape(grid_y * TILE_Y, grid_x * TILE_X)
-    return img[:height, :width], tf[:height, :width]
+    return img[:height, :width], tf[:height, :width], overflow

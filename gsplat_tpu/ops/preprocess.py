@@ -43,17 +43,26 @@ def ndc2pix(v, S):
     return ((v + 1.0) * S - 1.0) * 0.5
 
 
-_HI = jax.lax.Precision.HIGHEST  # fp32 MXU accumulation everywhere in this path
+_HI = jax.lax.Precision.HIGHEST
 
 
 def transform_point_4x3(p, M):
-    """p_row @ M, first 3 components (auxiliary.h:57-66)."""
-    return jnp.matmul(p, M[:3, :3], precision=_HI) + M[3, :3]
+    """p_row @ M, first 3 components (auxiliary.h:57-66).
+
+    Expanded component-wise: a [P,3]x[3,3] dot_general would land on the MXU
+    with 3/128-lane utilization; as 9 fused multiply-adds on [P] vectors the
+    VPU runs it at full width.
+    """
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    out = [x * M[0, j] + y * M[1, j] + z * M[2, j] + M[3, j] for j in range(3)]
+    return jnp.stack(out, axis=-1)
 
 
 def transform_point_4x4(p, M):
-    """p_row @ M homogeneous (auxiliary.h:68-77)."""
-    return jnp.matmul(p, M[:3, :4], precision=_HI) + M[3, :4]
+    """p_row @ M homogeneous (auxiliary.h:68-77), component-wise."""
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    out = [x * M[0, j] + y * M[1, j] + z * M[2, j] + M[3, j] for j in range(4)]
+    return jnp.stack(out, axis=-1)
 
 
 def compute_cov2d(means3d, cov3d6, focal_x, focal_y, tan_fovx, tan_fovy, viewmatrix):
@@ -70,25 +79,34 @@ def compute_cov2d(means3d, cov3d6, focal_x, focal_y, tan_fovx, tan_fovy, viewmat
     tx = jnp.clip(txtz, -limx, limx) * tz
     ty = jnp.clip(tytz, -limy, limy) * tz
 
-    # J (math-matrix form; see forward.cu:89-93 — glm column-major unfolds to
-    # exactly this):  rows are d(screen)/d(view).
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x / tz, zeros, -(focal_x * tx) / (tz * tz)], axis=-1),
-            jnp.stack([zeros, focal_y / tz, -(focal_y * ty) / (tz * tz)], axis=-1),
-            jnp.stack([zeros, zeros, zeros], axis=-1),
-        ],
-        axis=-2,
-    )  # [P,3,3]
+    # Fully component-wise EWA (forward.cu:74-113). J has only 4 nonzero
+    # entries, so T = W @ J has columns:
+    #   T[:,0] = W[:,0] * (fx/tz)
+    #   T[:,1] = W[:,1] * (fy/tz)
+    #   T[:,2] = W[:,0] * (-fx tx/tz^2) + W[:,1] * (-fy ty/tz^2)
+    # and cov2d[a,b] = T[:,a]^T Vrk T[:,b] over the first two columns only.
+    W = viewmatrix[:3, :3]
+    j00 = focal_x / tz
+    j11 = focal_y / tz
+    j02 = -(focal_x * tx) / (tz * tz)
+    j12 = -(focal_y * ty) / (tz * tz)
 
-    W = viewmatrix[:3, :3]  # math W; combined with J gives J^T R Σ R^T J
-    Tm = jnp.einsum("ij,pjk->pik", W, J, precision=_HI)  # T = W @ J
-    Vrk = T.unpack_symmetric(cov3d6)              # [P,3,3]
-    cov = jnp.einsum("pji,pjk,pkl->pil", Tm, Vrk, Tm, precision=_HI)  # T^T Σ T
-    cov_xx = cov[:, 0, 0] + 0.3
-    cov_xy = cov[:, 0, 1]
-    cov_yy = cov[:, 1, 1] + 0.3
+    # column vectors of T as [P] component arrays
+    t0 = [W[i, 0] * j00 + W[i, 2] * j02 for i in range(3)]
+    t1 = [W[i, 1] * j11 + W[i, 2] * j12 for i in range(3)]
+
+    v_xx, v_xy, v_xz = cov3d6[:, 0], cov3d6[:, 1], cov3d6[:, 2]
+    v_yy, v_yz, v_zz = cov3d6[:, 3], cov3d6[:, 4], cov3d6[:, 5]
+
+    def vrk_dot(a, b):
+        # a^T Vrk b with symmetric Vrk, expanded
+        return (a[0] * (v_xx * b[0] + v_xy * b[1] + v_xz * b[2])
+                + a[1] * (v_xy * b[0] + v_yy * b[1] + v_yz * b[2])
+                + a[2] * (v_xz * b[0] + v_yz * b[1] + v_zz * b[2]))
+
+    cov_xx = vrk_dot(t0, t0) + 0.3
+    cov_xy = vrk_dot(t0, t1)
+    cov_yy = vrk_dot(t1, t1) + 0.3
     return jnp.stack([cov_xx, cov_xy, cov_yy], axis=-1)
 
 

@@ -103,11 +103,8 @@ def rasterize(
     backend = _resolve_backend(config.backend)
     overflow = bins.overflow
     if backend == "pallas":
-        from gsplat_tpu.ops.binning import pad_tile_ranges
-        from gsplat_tpu.ops.composite_pallas import CHUNK, composite_pallas
-        bins = pad_tile_ranges(bins, CHUNK, config.max_instances)
-        overflow = bins.overflow
-        img, T_final = composite_pallas(
+        from gsplat_tpu.ops.composite_pallas import composite_pallas
+        img, T_final, overflow = composite_pallas(
             pre.means2d, pre.conic, pre.opacity, feats, bins,
             config.width, config.height,
             interpret=jax.default_backend() != "tpu",

@@ -28,6 +28,7 @@ from gsplat_tpu.train.schedules import make_lr_fn
 def camera_batch(cam, gt_depth=None, gt_seg=None):
     """Host: extract the per-camera device arrays for a train step."""
     b = {
+        "uid": jnp.int32(getattr(cam, "uid", 0)),
         "viewmatrix": jnp.asarray(cam.world_view_transform),
         "projmatrix": jnp.asarray(cam.full_proj_transform),
         "campos": jnp.asarray(cam.camera_center),
@@ -48,11 +49,12 @@ def camera_batch(cam, gt_depth=None, gt_seg=None):
 
 def make_loss_fn(cfg: RasterizeConfig, opt, sh_degree: int,
                  depth_loss_choice: Optional[str], use_seg: bool,
-                 bg: jnp.ndarray):
+                 bg: jnp.ndarray, use_appearance: bool = False):
     """Loss on activated params for one camera. Mirrors train.py:110-141 +
-    train_segment.py:125-138."""
+    train_segment.py:125-138 (+ appearance factors, train.py:100-104)."""
 
-    def loss_fn(params: GaussianParams, m2d_off, batch, key):
+    def loss_fn(params: GaussianParams, m2d_off, batch, key,
+                app_params=None):
         out = rasterize(
             cfg,
             params.xyz,
@@ -71,6 +73,11 @@ def make_loss_fn(cfg: RasterizeConfig, opt, sh_degree: int,
             means2d_offset=m2d_off,
         )
         image = out["render"]
+        if use_appearance and app_params is not None:
+            from gsplat_tpu.models import appearance as app_lib
+            factors = app_lib.apply(app_params, batch["uid"],
+                                    batch["viewmatrix"])
+            image = image * factors.reshape(3, 1, 1)
         gt = batch["gt_image"]
         l1 = L.l1_loss(image, gt)
         loss = ((1.0 - opt.lambda_dssim) * l1
@@ -101,6 +108,44 @@ def make_loss_fn(cfg: RasterizeConfig, opt, sh_degree: int,
         return loss, auxout
 
     return loss_fn
+
+
+def make_appearance_step(cfg: RasterizeConfig, opt, sh_degree: int,
+                         depth_loss_choice: Optional[str], use_seg: bool,
+                         bg: jnp.ndarray, app_lr: float = 1e-4):
+    """Train-step variant that jointly optimizes the appearance embedding
+    (reference train.py:100-104,188-190)."""
+    loss_fn = make_loss_fn(cfg, opt, sh_degree, depth_loss_choice, use_seg,
+                           bg, use_appearance=True)
+
+    @jax.jit
+    def step(params, opt_state, aux, app_params, app_opt_state, batch, lrs,
+             key):
+        P = params.xyz.shape[0]
+        m2d_off = jnp.zeros((P, 2), jnp.float32)
+        (loss, auxout), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 4), has_aux=True)(
+            params, m2d_off, batch, key, app_params)
+        gparams, g_m2d, g_app = grads
+
+        scale = jnp.array([0.5 * cfg.width, 0.5 * cfg.height])
+        aux = add_densification_stats(aux, g_m2d * scale[None, :],
+                                      auxout["radii"])
+        lrs_tree = GaussianParams(**{k: lrs[k] for k in GaussianParams._fields})
+        params, opt_state = adam.update(gparams, opt_state, params, lrs_tree)
+        app_lrs = jax.tree_util.tree_map(lambda _: app_lr, app_params)
+        app_params, app_opt_state = adam.update(
+            g_app, app_opt_state, app_params, app_lrs)
+        metrics = {
+            "loss": loss, "l1": auxout["l1"],
+            "depth_loss": auxout["depth_loss"], "seg_loss": auxout["seg_loss"],
+            "overflow": auxout["overflow"],
+            "num_rendered": auxout["num_rendered"],
+            "n_visible": jnp.sum(auxout["visibility"]),
+        }
+        return params, opt_state, aux, app_params, app_opt_state, metrics
+
+    return step
 
 
 def make_train_step(cfg: RasterizeConfig, opt, sh_degree: int,

@@ -1,0 +1,144 @@
+"""Scene editing operations — the visualizer's edit toolbox, headless.
+
+Behavioral spec: reference visualizer.py's editing features (SURVEY.md §2.2
+P20): bbox crop with rotated basis (:718-792), sub-scene merge (:196-226),
+copy (:228-257), remove (:269-325), per-sub-scene translate/scale (:384-396),
+per-class segment filtering (:79-83, :871-874), save-clip (:411-415).  The
+interactive taichi GUI is GPU-host-bound and out of TPU scope (SURVEY.md §7.2
+step 10); these operations are exposed headless here and driven by the
+offline visualizer CLI / HTTP viewer instead.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu.models.gaussians import GaussianModel
+from gsplat_tpu.viz.camera_trajectory import bbox_basis, bbox_mask
+
+
+class SceneEditor:
+    """Tracks sub-scene instance membership like the visualizer's
+    instance_parm bookkeeping (visualizer.py:196-226)."""
+
+    def __init__(self, model: GaussianModel):
+        self.model = model
+        # instance id per gaussian slot (0 = base scene)
+        self.instance = np.zeros(model.capacity, np.int32)
+        self._next_instance = 1
+
+    # --- selection ----------------------------------------------------------
+    def alive_mask(self) -> np.ndarray:
+        return np.asarray(self.model.aux.alive)
+
+    def bbox_select(self, center, rotation_deg=(0, 0, 0),
+                    extents=(1, 1, 1)) -> np.ndarray:
+        """Rotated-box containment mask (bbox_clip, visualizer.py:718-792)."""
+        basis = bbox_basis(*rotation_deg)
+        pts = np.asarray(self.model.params.xyz)
+        m = bbox_mask(pts, np.asarray(center, np.float64),
+                      basis, np.asarray(extents, np.float64))
+        return m & self.alive_mask()
+
+    def segment_select(self, class_id: int) -> np.ndarray:
+        """Mask of gaussians whose argmax segment class is class_id
+        (visualizer.py:79-83)."""
+        seg = np.asarray(self.model.get_segment)
+        return (seg.argmax(1) == class_id) & self.alive_mask()
+
+    # --- edits --------------------------------------------------------------
+    def _free_slots(self, n: int) -> np.ndarray:
+        free = np.nonzero(~self.alive_mask())[0]
+        if len(free) < n:
+            raise ValueError(f"not enough capacity: need {n}, have {len(free)}")
+        return free[:n]
+
+    def copy(self, mask: np.ndarray, translate=(0, 0, 0)) -> int:
+        """Duplicate selected gaussians as a new sub-scene instance
+        (visualizer.py:228-257). Returns the new instance id."""
+        src = np.nonzero(mask)[0]
+        dst = self._free_slots(len(src))
+        p = self.model.params
+        new = {}
+        for name in p._fields:
+            arr = np.array(getattr(p, name))
+            arr[dst] = arr[src]
+            new[name] = jnp.asarray(arr)
+        new["xyz"] = new["xyz"].at[dst].add(jnp.asarray(translate, jnp.float32))
+        self.model.params = type(p)(**new)
+        alive = np.array(self.model.aux.alive)
+        alive[dst] = True
+        self.model.aux = self.model.aux._replace(alive=jnp.asarray(alive))
+        iid = self._next_instance
+        self._next_instance += 1
+        self.instance[dst] = iid
+        return iid
+
+    def remove(self, mask: np.ndarray) -> int:
+        """Delete selected gaussians (visualizer.py:269-325)."""
+        from gsplat_tpu.models.gaussians import DEAD_OPACITY_LOGIT, DEAD_XYZ
+        idx = np.nonzero(mask)[0]
+        alive = np.array(self.model.aux.alive)
+        alive[idx] = False
+        self.model.aux = self.model.aux._replace(alive=jnp.asarray(alive))
+        p = self.model.params
+        xyz = np.array(p.xyz)
+        op = np.array(p.opacity)
+        xyz[idx] = DEAD_XYZ
+        op[idx] = DEAD_OPACITY_LOGIT
+        self.model.params = p._replace(xyz=jnp.asarray(xyz),
+                                       opacity=jnp.asarray(op))
+        return len(idx)
+
+    def transform_instance(self, instance_id: int, translate=(0, 0, 0),
+                           scale: float = 1.0):
+        """Per-sub-scene translate/scale (visualizer.py:384-396)."""
+        sel = (self.instance == instance_id) & self.alive_mask()
+        idx = np.nonzero(sel)[0]
+        p = self.model.params
+        xyz = np.array(p.xyz)
+        scaling = np.array(p.scaling)
+        xyz[idx] = xyz[idx] * scale + np.asarray(translate)
+        scaling[idx] = scaling[idx] + np.log(scale)
+        self.model.params = p._replace(xyz=jnp.asarray(xyz),
+                                       scaling=jnp.asarray(scaling))
+
+    def merge_ply(self, path: str, translate=(0, 0, 0),
+                  scale: float = 1.0) -> int:
+        """Load another PLY and merge it as a new sub-scene instance
+        (_merge_scenes, visualizer.py:196-226)."""
+        other = GaussianModel(self.model.max_sh_degree,
+                              num_class=self.model.num_class,
+                              capacity=self.model.capacity)
+        other.load_ply(path)
+        n = other.num_alive
+        dst = self._free_slots(n)
+        p = self.model.params
+        po = other.params
+        new = {}
+        for name in p._fields:
+            arr = np.array(getattr(p, name))
+            src_arr = np.asarray(getattr(po, name))[:n]
+            if name == "segment" and src_arr.shape[1] != arr.shape[1]:
+                tmp = np.zeros((n, arr.shape[1]), np.float32)
+                c = min(src_arr.shape[1], arr.shape[1])
+                tmp[:, :c] = src_arr[:, :c]
+                src_arr = tmp
+            arr[dst] = src_arr
+            new[name] = jnp.asarray(arr)
+        self.model.params = type(p)(**new)
+        alive = np.array(self.model.aux.alive)
+        alive[dst] = True
+        self.model.aux = self.model.aux._replace(alive=jnp.asarray(alive))
+        iid = self._next_instance
+        self._next_instance += 1
+        self.instance[dst] = iid
+        self.transform_instance(iid, translate, scale)
+        return iid
+
+    def save_clip(self, path: str, mask: np.ndarray):
+        """Save selected gaussians as a sub-scene PLY (Scene.save_clip,
+        scene/__init__.py:131-137)."""
+        self.model.save_ply(path, mask=mask)

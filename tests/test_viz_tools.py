@@ -1,0 +1,166 @@
+"""Editor / converters / network protocol / video tooling tests."""
+import json
+import os
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+def _model(rng, n=60, capacity=256, num_class=3):
+    from gsplat_tpu.models.gaussians import GaussianModel
+    m = GaussianModel(3, num_class=num_class, capacity=capacity)
+    m.create_from_pcd(rng.standard_normal((n, 3)).astype(np.float32),
+                      rng.uniform(size=(n, 3)).astype(np.float32), 1.0)
+    return m
+
+
+def test_editor_bbox_and_remove(rng):
+    from gsplat_tpu.viz.editor import SceneEditor
+    m = _model(rng)
+    ed = SceneEditor(m)
+    mask = ed.bbox_select([0, 0, 0], (0, 0, 0), (0.5, 0.5, 0.5))
+    pts = np.asarray(m.params.xyz)[:60]
+    expected = np.all(np.abs(pts) <= 0.5, axis=1)
+    np.testing.assert_array_equal(mask[:60], expected)
+    n_before = m.num_alive
+    removed = ed.remove(mask)
+    assert m.num_alive == n_before - removed
+
+
+def test_editor_copy_and_transform(rng):
+    from gsplat_tpu.viz.editor import SceneEditor
+    m = _model(rng, n=40, capacity=256)
+    ed = SceneEditor(m)
+    mask = np.zeros(256, bool)
+    mask[:10] = True
+    iid = ed.copy(mask, translate=(5, 0, 0))
+    assert m.num_alive == 50
+    new_idx = np.nonzero(ed.instance == iid)[0]
+    np.testing.assert_allclose(
+        np.asarray(m.params.xyz)[new_idx],
+        np.asarray(m.params.xyz)[:10] + np.array([5, 0, 0]), atol=1e-5)
+    ed.transform_instance(iid, translate=(0, 1, 0), scale=2.0)
+    np.testing.assert_allclose(
+        np.asarray(m.params.xyz)[new_idx],
+        (np.asarray(m.params.xyz)[:10] + np.array([5, 0, 0])) * 2
+        + np.array([0, 1, 0]), atol=1e-4)
+
+
+def test_editor_merge_and_clip(tmp_path, rng):
+    from gsplat_tpu.viz.editor import SceneEditor
+    m = _model(rng, n=30, capacity=256)
+    m2 = _model(rng, n=20, capacity=64)
+    ply = str(tmp_path / "sub.ply")
+    m2.save_ply(ply)
+    ed = SceneEditor(m)
+    iid = ed.merge_ply(ply, translate=(10, 0, 0))
+    assert m.num_alive == 50
+    clip = str(tmp_path / "clip.ply")
+    ed.save_clip(clip, ed.instance == iid)
+    from gsplat_tpu.data import ply as ply_io
+    d = ply_io.read_ply(clip)
+    assert len(d["x"]) == 20
+    assert d["x"].mean() > 5  # translated
+
+
+def test_slam2nerf_roundtrip(tmp_path):
+    from gsplat_tpu.data.converters import (compute_block_seq,
+                                            nerf_to_poses_bounds, slam_to_nerf)
+    root = str(tmp_path)
+    # fabricate poses: camera moving along +x
+    lines = []
+    for i in range(10):
+        pose = np.eye(4)[:3]
+        pose[0, 3] = i * 1.0
+        lines.append(f"{i} " + " ".join(str(v) for v in pose.ravel()))
+    with open(os.path.join(root, "KeyFramePose.txt"), "w") as f:
+        f.write("\n".join(lines))
+    with open(os.path.join(root, "Pose.txt"), "w") as f:
+        f.write("\n".join(lines))
+
+    intr = dict(fl_x=500.0, fl_y=500.0, cx=320, cy=240, w=640, h=480)
+    out = slam_to_nerf(root, intr)
+    meta = json.load(open(out))
+    assert len(meta["frames"]) == 10
+    assert meta["fl_x"] == 500.0
+    # axis flip applied: y/z columns negated
+    m0 = np.array(meta["frames"][0]["transform_matrix"])
+    np.testing.assert_allclose(m0[:3, 1], [0, -1, 0], atol=1e-6)
+
+    blocks = compute_block_seq(root, K=3.0)
+    assert len(blocks) >= 2
+    assert blocks[0][0][0] == 0
+
+    pb = nerf_to_poses_bounds(out)
+    arr = np.load(pb)
+    assert arr.shape == (10, 17)
+
+
+def test_depth_normalization(tmp_path):
+    from PIL import Image
+    from gsplat_tpu.data.converters import normalize_depth_folder
+    d = np.random.default_rng(0).integers(0, 1000, (8, 8)).astype(np.uint16)
+    os.makedirs(tmp_path / "depth", exist_ok=True)
+    Image.fromarray(d).save(tmp_path / "depth" / "a.png")
+    normalize_depth_folder(str(tmp_path / "depth"), str(tmp_path / "out"))
+    dn = np.asarray(Image.open(tmp_path / "out" / "a.png"))
+    assert dn.max() == 65535
+
+
+def test_network_gui_roundtrip(rng):
+    """Socket protocol: init server, connect a fake SIBR client, exchange one
+    frame (network_gui.py protocol parity)."""
+    import socket
+    import threading
+    from gsplat_tpu.viz import network_gui
+
+    network_gui.init("127.0.0.1", 0)
+    port = network_gui.listener.getsockname()[1]
+
+    msg = {
+        "resolution_x": 16, "resolution_y": 16, "train": True,
+        "fov_y": 1.0, "fov_x": 1.0, "z_near": 0.01, "z_far": 100.0,
+        "shs_python": False, "rot_scale_python": False, "keep_alive": False,
+        "scaling_modifier": 1.0,
+        "view_matrix": list(np.eye(4).ravel()),
+        "view_projection_matrix": list(np.eye(4).ravel()),
+    }
+
+    result = {}
+
+    def client():
+        s = socket.create_connection(("127.0.0.1", port))
+        payload = json.dumps(msg).encode()
+        s.sendall(len(payload).to_bytes(4, "little"))
+        s.sendall(payload)
+        img = b""
+        want = 16 * 16 * 3
+        while len(img) < want:
+            img += s.recv(want - len(img))
+        n = int.from_bytes(s.recv(4), "little")
+        verify = s.recv(n).decode()
+        result["img_len"] = len(img)
+        result["verify"] = verify
+        s.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    import time
+    time.sleep(0.2)
+    network_gui.try_connect()
+    assert network_gui.conn is not None
+    cam, do_training, *_ = network_gui.receive()
+    assert cam.image_width == 16
+    frame = (np.ones((16, 16, 3)) * 127).astype(np.uint8)
+    network_gui.send(memoryview(frame.copy(order="C")), "/some/path")
+    t.join(timeout=5)
+    assert result["img_len"] == 16 * 16 * 3
+    assert result["verify"] == "/some/path"
+    network_gui.conn.close()
+    network_gui.conn = None
+    network_gui.listener.close()
+    network_gui.listener = None
