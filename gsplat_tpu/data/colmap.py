@@ -126,7 +126,13 @@ def read_extrinsics_binary(path) -> Dict[int, ColmapImage]:
 
 
 def read_points3D_binary(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (xyz [N,3], rgb [N,3] uint8-valued, error [N,1])."""
+    """Returns (xyz [N,3], rgb [N,3] uint8-valued, error [N,1]).
+    Uses the native C++ parser when built (native/gsplat_io.cpp)."""
+    from gsplat_tpu.data import native
+    if native.available():
+        out = native.read_points3d_binary(path)
+        if out is not None:
+            return out
     with open(path, "rb") as f:
         data = f.read()
     (n,) = struct.unpack_from("<Q", data, 0)

@@ -9,9 +9,47 @@ checkpoints, and x,y,z,[nx,ny,nz],red,green,blue for input point clouds.
 from __future__ import annotations
 
 import io
-from typing import Dict, List, Tuple
+import os
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+
+def _header_prop_names(path: str) -> Optional[List[str]]:
+    """Parse just the header for binary_little_endian vertex prop names."""
+    names = []
+    with open(path, "rb") as f:
+        head = f.read(65536)
+    if b"end_header" not in head or b"binary_little_endian" not in head:
+        return None
+    in_vertex = False
+    for line in head.split(b"\n"):
+        t = line.strip().split()
+        if not t:
+            continue
+        if t[0] == b"element":
+            in_vertex = t[1] == b"vertex"
+        elif t[0] == b"property" and in_vertex:
+            if t[1] == b"list":
+                return None
+            names.append(t[-1].decode())
+        elif t[0] == b"end_header":
+            break
+    return names or None
+
+
+def _read_ply_native(path: str) -> Optional[Dict[str, np.ndarray]]:
+    from gsplat_tpu.data import native
+
+    if not native.available():
+        return None
+    names = _header_prop_names(path)
+    if not names:
+        return None
+    mat = native.ply_read_props(path, names)
+    if mat is None:
+        return None
+    return {n: np.ascontiguousarray(mat[:, i]) for i, n in enumerate(names)}
 
 _PLY_TO_NP = {
     "char": "i1", "int8": "i1",
@@ -28,7 +66,14 @@ _NP_TO_PLY = {"f4": "float", "f8": "double", "u1": "uchar", "i4": "int", "u4": "
 
 
 def read_ply(path: str) -> Dict[str, np.ndarray]:
-    """Read the 'vertex' element into a dict of 1-D property arrays."""
+    """Read the 'vertex' element into a dict of 1-D property arrays.
+
+    Large binary files go through the native C++ parser when built
+    (native/gsplat_io.cpp); pure-python otherwise."""
+    if os.path.getsize(path) > (1 << 20):
+        out = _read_ply_native(path)
+        if out is not None:
+            return out
     with open(path, "rb") as f:
         data = f.read()
     header_end = data.find(b"end_header\n")

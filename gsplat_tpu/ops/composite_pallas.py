@@ -438,7 +438,8 @@ def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
     table = jnp.pad(table, ((0, 1), (0, R - ATTR_BASE - C)))       # sentinel
     gid_padded = jnp.where(valid.reshape(-1),
                            jnp.minimum(bins.gauss_id[src], P), P)
-    attr = table[gid_padded]                                       # [I, R]
+    from gsplat_tpu.ops.segment_reduce import gather_rows
+    attr = gather_rows(table, gid_padded, interpret)               # [I, R]
     attr = attr.reshape(NCH, CHUNK, R).swapaxes(1, 2)              # [NCH,R,CHUNK]
 
     ranges = jnp.stack([chunk_start, bins.tile_count], axis=1)

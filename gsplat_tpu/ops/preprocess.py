@@ -65,14 +65,17 @@ def transform_point_4x4(p, M):
     return jnp.stack(out, axis=-1)
 
 
-def compute_cov2d(means3d, cov3d6, focal_x, focal_y, tan_fovx, tan_fovy, viewmatrix):
+def compute_cov2d(means3d, cov3d6, focal_x, focal_y, tan_fovx, tan_fovy,
+                  viewmatrix, clamp_tan_fovx=None, clamp_tan_fovy=None):
     """EWA-project 3D covariances to 2D (forward.cu:74-113).
 
     Returns [P,3] packed (cov_xx, cov_xy, cov_yy) with the +0.3 low-pass.
+    ``clamp_tan_*`` decouple the 1.3*tanfov Jacobian clamp from the focal
+    (needed by tile-sharded crop rendering, parallel/tile_parallel.py).
     """
     t = transform_point_4x3(means3d, viewmatrix)  # [P,3] view-space
-    limx = 1.3 * tan_fovx
-    limy = 1.3 * tan_fovy
+    limx = 1.3 * (tan_fovx if clamp_tan_fovx is None else clamp_tan_fovx)
+    limy = 1.3 * (tan_fovy if clamp_tan_fovy is None else clamp_tan_fovy)
     tz = t[:, 2]
     txtz = t[:, 0] / tz
     tytz = t[:, 1] / tz
@@ -127,6 +130,8 @@ def preprocess(
     scale_modifier: float = 1.0,
     cov3d_precomp: Optional[jnp.ndarray] = None,   # [P,6]
     colors_precomp: Optional[jnp.ndarray] = None,  # [P,3]
+    clamp_tan_fovx=None,
+    clamp_tan_fovy=None,
 ) -> PreprocessOut:
     P = means3d.shape[0]
     focal_y = height / (2.0 * tan_fovy)   # rasterizer_impl.cu:226-227
@@ -152,7 +157,8 @@ def preprocess(
 
     # 2D covariance -> conic (forward.cu:219-227).
     cov2d = compute_cov2d(
-        means3d, cov3d6, focal_x, focal_y, tan_fovx, tan_fovy, viewmatrix
+        means3d, cov3d6, focal_x, focal_y, tan_fovx, tan_fovy, viewmatrix,
+        clamp_tan_fovx, clamp_tan_fovy,
     )
     det = cov2d[:, 0] * cov2d[:, 2] - cov2d[:, 1] * cov2d[:, 1]
     det_ok = det != 0.0

@@ -73,6 +73,8 @@ def rasterize(
     scale_modifier: float = 1.0,
     colors_precomp: Optional[jnp.ndarray] = None,
     cov3d_precomp: Optional[jnp.ndarray] = None,
+    clamp_tan_fovx=None,
+    clamp_tan_fovy=None,
 ):
     """Returns dict(render [3,H,W], depth [H,W], alpha [H,W],
     segment [S,H,W]?, radii [P], visibility [P] bool, overflow [], num_rendered [])."""
@@ -83,6 +85,8 @@ def rasterize(
         scale_modifier=scale_modifier,
         cov3d_precomp=cov3d_precomp,
         colors_precomp=colors_precomp,
+        clamp_tan_fovx=clamp_tan_fovx,
+        clamp_tan_fovy=clamp_tan_fovy,
     )
     if means2d_offset is not None:
         pre = pre._replace(means2d=pre.means2d + means2d_offset)

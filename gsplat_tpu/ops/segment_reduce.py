@@ -1,0 +1,154 @@
+"""Fast per-gaussian gradient reduction — MXU segment-sum.
+
+The backward pass produces per-INSTANCE gradients (one row per tile-gaussian
+pair, ~2-10M rows) that must reduce to per-GAUSSIAN gradients.  XLA's
+scatter-add does this at ~100ns/row (430ms at 4M rows — the single biggest
+cost of a training step); this module replaces it with:
+
+  1. one 17-operand ``jax.lax.sort`` by gaussian id (~10ms — TPU sort is
+     fast, scatter is not),
+  2. a Pallas kernel that reduces the now-contiguous segments with ONE-HOT
+     MATMULS on the MXU: each program owns a block of G output gaussians,
+     streams its input row range chunk-by-chunk, builds the [G, CHUNK]
+     indicator matrix by iota comparison, and accumulates
+     acc += onehot @ rows — exact fp32 accumulation, no atomics, no scatter.
+
+Exposed as ``gather_rows`` — a drop-in ``table[idx]`` whose custom VJP uses
+this reduction (the CUDA analogue is backward.cu's atomicAdd accumulation,
+SURVEY.md §5 'revision-safe accumulation patterns instead of atomics').
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = jax.lax.Precision.HIGHEST
+
+BLOCK_G = 256     # output gaussians per program
+CHUNK = 256       # input rows per DMA/compute batch
+
+
+def _segsum_kernel(R: int,
+                   ranges_ref, vals_ref, out_ref, buf, sems):
+    # vals is lane-major [NCH, R_TOT, CHUNK] with the segment id in row R and
+    # R_TOT a multiple of 8 (odd sublane counts crash the Mosaic compiler).
+    b = pl.program_id(0)
+    blk0 = ranges_ref[b % 8, 0]       # first CHUNK index of the range
+    nchunks = ranges_ref[b % 8, 1]    # chunks to process
+    g0 = b * BLOCK_G
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            vals_ref.at[blk0 + c], buf.at[slot], sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(c, acc):
+        slot = c % 2
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            dma((c + 1) % 2, c + 1).start()
+
+        dma(slot, c).wait()
+        rows = buf[slot]                                   # [R_TOT, CHUNK]
+        sid = rows[R]                                      # [CHUNK] float ids
+        # huge pad ids overflow int32; clamp first (still outside the block)
+        local = jnp.clip(sid - g0, -1.0, BLOCK_G + 1.0).astype(jnp.int32)
+        gi = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_G, CHUNK), 0)
+        onehot = (gi == local[None, :]).astype(jnp.float32)  # [G, CHUNK]
+        # rows outside this block (range rounding / other segments / pads)
+        # have local outside [0, G) -> all-zero indicator -> exact masking
+        return acc + jax.lax.dot_general(
+            rows[0:R], onehot, (((1,), (1,)), ((), ())), precision=_HI)
+
+    acc = jax.lax.fori_loop(0, nchunks, body,
+                            jnp.zeros((R, BLOCK_G), jnp.float32))
+    out_ref[0] = acc
+
+
+def segment_sum_sorted(vals: jnp.ndarray, sids: jnp.ndarray,
+                       num_segments: int,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Sum rows of ``vals`` [I, R] by SORTED segment id ``sids`` [I] (int32,
+    ids >= num_segments act as dropped padding). Returns [num_segments, R]."""
+    I, R = vals.shape
+    assert I % CHUNK == 0
+    B = (num_segments + BLOCK_G - 1) // BLOCK_G
+    segs_padded = B * BLOCK_G
+
+    # per-block input row ranges from the sorted ids (small searchsorted)
+    bounds = jnp.searchsorted(
+        sids, jnp.arange(0, segs_padded + 1, BLOCK_G, dtype=jnp.int32),
+        side="left").astype(jnp.int32)                      # [B+1]
+    start = bounds[:-1]
+    end = bounds[1:]
+    blk0 = start // CHUNK                                   # aligned chunks
+    nchunks = (end - blk0 * CHUNK + CHUNK - 1) // CHUNK
+    ranges = jnp.stack([blk0, nchunks], axis=1)
+    pad_rows = (-B) % 8
+    if pad_rows:
+        ranges = jnp.pad(ranges, ((0, pad_rows), (0, 0)))
+
+    # pack ids as a float row in a lane-major chunked layout.  One extra
+    # CHUNK of pad rows (huge id -> masked) absorbs the range rounding so
+    # the last block's DMA never reads out of bounds; rows are padded to a
+    # multiple of 8 sublanes (odd counts crash Mosaic).
+    R_TOT = ((R + 1 + 7) // 8) * 8
+    vals_ext = jnp.concatenate(
+        [vals, sids.astype(jnp.float32)[:, None],
+         jnp.zeros((I, R_TOT - R - 1), jnp.float32)], axis=1)  # [I, R_TOT]
+    pad_block = jnp.full((CHUNK, R_TOT), 1e9, jnp.float32)
+    vals_ext = jnp.concatenate([vals_ext, pad_block], axis=0)
+    vals_ext = vals_ext.reshape(
+        (I + CHUNK) // CHUNK, CHUNK, R_TOT).swapaxes(1, 2)
+
+    kernel = functools.partial(_segsum_kernel, R)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((8, 2), lambda b: (b // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, R, BLOCK_G), lambda b: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, R_TOT, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B, R, BLOCK_G), jnp.float32),
+        interpret=interpret,
+    )(ranges, vals_ext)
+    return out.swapaxes(1, 2).reshape(segs_padded, R)[:num_segments]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows(table, idx, interpret: bool = False):
+    """``table[idx]`` with a sort+MXU-segment-sum adjoint instead of XLA's
+    serial scatter-add.  table: [P, R]; idx: [I] int32 in [0, P)."""
+    return table[idx]
+
+
+def _gr_fwd(table, idx, interpret):
+    return table[idx], (idx, table.shape[0])
+
+
+def _gr_bwd(interpret, res, d_out):
+    idx, P = res
+    I, R = d_out.shape
+    ops = (idx,) + tuple(d_out[:, i] for i in range(R))
+    s = jax.lax.sort(ops, num_keys=1)
+    vals = jnp.stack(s[1:], axis=1)
+    d_table = segment_sum_sorted(vals, s[0], P, interpret=interpret)
+    return d_table, np.zeros(np.shape(idx), dtype=jax.dtypes.float0)
+
+
+gather_rows.defvjp(_gr_fwd, _gr_bwd)

@@ -104,12 +104,22 @@ def main(argv=None):
         first_iter = gaussians.restore_checkpoint(args.start_checkpoint)
         print(f"Resumed from {args.start_checkpoint} at iteration {first_iter}")
 
+    gui_source = None
+    if not args.disable_gui_server:
+        try:
+            from gsplat_tpu.viz import network_gui
+            network_gui.init(args.ip, args.port)
+            gui_source = dataset.source_path
+        except OSError as e:
+            print(f"[gui] socket server disabled: {e}")
+
     bg = jnp.ones(3) if dataset.white_background else jnp.zeros(3)
     trainer = Trainer(
         gaussians, scene, opt, bg=bg,
         depth_loss_choice=args.depth_loss_choice if dataset.using_depth else None,
         use_seg=dataset.using_seg, backend=args.backend,
-        max_instances=args.max_instances, model_path=args.model_path)
+        max_instances=args.max_instances, model_path=args.model_path,
+        gui_source_path=gui_source)
 
     metrics_log = open(os.path.join(args.model_path, "train_log.jsonl"), "a")
 

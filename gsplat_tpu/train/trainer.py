@@ -192,7 +192,8 @@ class Trainer:
 
     def __init__(self, model: GaussianModel, scene, opt, *, bg=None,
                  depth_loss_choice=None, use_seg=False, backend="auto",
-                 max_instances=0, seed=0, model_path=None):
+                 max_instances=0, seed=0, model_path=None,
+                 gui_source_path=None):
         self.model = model
         self.scene = scene
         self.opt = opt
@@ -215,6 +216,7 @@ class Trainer:
             num_class=model.num_class if use_seg else 0,
             max_instances=self.max_instances, backend=backend)
         self.ema_loss = 0.0
+        self.gui_source_path = gui_source_path  # enables SIBR socket polling
 
     def _step_fn(self, sh_degree):
         k = (sh_degree, self.model.capacity)
@@ -237,6 +239,17 @@ class Trainer:
         batches = None  # lazy per-camera cache
         t_start = time.time()
         for it in range(first_iter + 1, iterations + 1):
+            # live-viewer poll (reference train.py:71-84)
+            if self.gui_source_path is not None:
+                from gsplat_tpu.viz import network_gui
+                from gsplat_tpu.renderer import render as render_fn
+                if network_gui.listener is not None:
+                    network_gui.poll_and_render(
+                        m, self.gui_source_path,
+                        lambda cam, g, sm: render_fn(
+                            cam, g, bg_color=self.bg, scaling_modifier=sm,
+                            backend=self.backend,
+                            max_instances=self.max_instances))
             if it % 1000 == 0:
                 m.oneup_sh_degree()
             if not stack:
