@@ -1,0 +1,242 @@
+"""DPT (monocular depth / segmentation) tests.
+
+Covers: forward shapes for all three backbones (hybrid ResNetV2 stem
+included), pos-embed resize for non-384 inputs, align_corners=True bilinear
+vs torch, torch state-dict conversion (synthetic checkpoint with the official
+key schema), and torch-parity of the primitive ops.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.depth.dpt import (
+    DPTConfig, dpt_config, dpt_forward, init_params, resize_bilinear_ac,
+    conv2d_transpose, std_conv_same, max_pool_same,
+)
+
+torch = pytest.importorskip("torch")
+
+
+def _small_cfg(hybrid=False, head="depth"):
+    # tiny ViT for fast tests
+    # hybrid taps come straight off the ResNet stages, so reassemble[0:2]
+    # must be their fixed 256/512 channels (as in the real vitb_rn50_384)
+    reassemble = (256, 512, 32, 40) if hybrid else (16, 24, 32, 40)
+    return DPTConfig(
+        backbone="tiny", features=32, reassemble=reassemble,
+        hooks=(0, 1, 2, 3), vit_dim=48, vit_depth=4, vit_heads=4, vit_mlp=64,
+        hybrid=hybrid, rn_layers=(1, 1, 1), head=head, num_classes=7,
+        use_bn=(head == "segmentation"))
+
+
+def test_forward_shapes_vit():
+    cfg = _small_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg, grid=4)
+    x = jnp.zeros((1, 64, 96, 3))
+    y = dpt_forward(params, cfg, x)
+    assert y.shape == (1, 64, 96)
+    assert bool(jnp.all(y >= 0))  # non_negative head
+
+
+def test_forward_shapes_hybrid():
+    cfg = _small_cfg(hybrid=True)
+    params = init_params(jax.random.PRNGKey(1), cfg, grid=4)
+    y = dpt_forward(params, cfg, jnp.ones((1, 64, 64, 3)) * 0.1)
+    assert y.shape == (1, 64, 64)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_forward_shapes_segmentation():
+    cfg = _small_cfg(head="segmentation")
+    params = init_params(jax.random.PRNGKey(2), cfg, grid=4)
+    y = dpt_forward(params, cfg, jnp.zeros((2, 32, 32, 3)))
+    assert y.shape == (2, 32, 32, 7)
+
+
+def test_real_config_shapes():
+    for mt, (dim, depth) in [("dpt_large", (1024, 24)),
+                             ("dpt_hybrid", (768, 12))]:
+        cfg = dpt_config(mt)
+        assert cfg.vit_dim == dim and cfg.vit_depth == depth
+
+
+def test_resize_bilinear_align_corners_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 5, 7, 3)).astype(np.float32)
+    y = np.asarray(resize_bilinear_ac(jnp.asarray(x), 10, 14))
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), size=(10, 14),
+        mode="bilinear", align_corners=True).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(y, ref, atol=1e-5)
+
+
+def test_conv_transpose_matches_torch():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 3, 4, 5)).astype(np.float32)   # NHWC
+    w_t = rng.standard_normal((5, 6, 4, 4)).astype(np.float32)  # in,out,k,k
+    b = rng.standard_normal(6).astype(np.float32)
+    y = np.asarray(conv2d_transpose(
+        jnp.asarray(x), jnp.asarray(w_t.transpose(2, 3, 0, 1)),
+        jnp.asarray(b), stride=4))
+    ref = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(w_t),
+        torch.from_numpy(b), stride=4).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(y, ref, atol=1e-4)
+
+
+def test_std_conv_same_matches_torch():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 9, 9, 3)).astype(np.float32)
+    w = rng.standard_normal((7, 7, 3, 8)).astype(np.float32)
+    y = np.asarray(std_conv_same(jnp.asarray(x), jnp.asarray(w), stride=2))
+    wt = torch.from_numpy(w.transpose(3, 2, 0, 1))
+    mu = wt.mean(dim=[1, 2, 3], keepdim=True)
+    var = wt.var(dim=[1, 2, 3], unbiased=False, keepdim=True)
+    wt = (wt - mu) / torch.sqrt(var + 1e-8)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    xt = torch.nn.functional.pad(xt, (3, 3, 3, 3))  # same pad: 9->5, k7 s2
+    ref = torch.nn.functional.conv2d(xt, wt, stride=2)
+    np.testing.assert_allclose(
+        y, ref.permute(0, 2, 3, 1).numpy(), atol=1e-4)
+
+
+def test_max_pool_same_matches_torch():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 8, 8, 2)).astype(np.float32)
+    y = np.asarray(max_pool_same(jnp.asarray(x)))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    xt = torch.nn.functional.pad(xt, (0, 1, 0, 1), value=-np.inf)
+    ref = torch.nn.functional.max_pool2d(xt, 3, 2).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(y, ref, atol=1e-6)
+
+
+def _synth_state_dict(cfg):
+    """Torch state dict with the official DPT key schema + shapes."""
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def t(*shape):
+        return torch.from_numpy(
+            rng.standard_normal(shape).astype(np.float32) * 0.05)
+
+    C, F = cfg.vit_dim, cfg.features
+    grid = 4
+    sd["pretrained.model.cls_token"] = t(1, 1, C)
+    sd["pretrained.model.pos_embed"] = t(1, grid * grid + 1, C)
+    if cfg.hybrid:
+        rn_out = 64 * 4 * 2 ** (len(cfg.rn_layers) - 1)   # 1024 for 3 stages
+        sd["pretrained.model.patch_embed.proj.weight"] = t(C, rn_out, 1, 1)
+        sd["pretrained.model.patch_embed.proj.bias"] = t(C)
+        sd["pretrained.model.patch_embed.backbone.stem.conv.weight"] = t(64, 3, 7, 7)
+        sd["pretrained.model.patch_embed.backbone.stem.norm.weight"] = t(64)
+        sd["pretrained.model.patch_embed.backbone.stem.norm.bias"] = t(64)
+        cin, width = 64, 64
+        for si, nblk in enumerate(cfg.rn_layers):
+            cout = width * 4
+            for bi in range(nblk):
+                p = f"pretrained.model.patch_embed.backbone.stages.{si}.blocks.{bi}."
+                sd[p + "conv1.weight"] = t(width, cin, 1, 1)
+                sd[p + "norm1.weight"] = t(width)
+                sd[p + "norm1.bias"] = t(width)
+                sd[p + "conv2.weight"] = t(width, width, 3, 3)
+                sd[p + "norm2.weight"] = t(width)
+                sd[p + "norm2.bias"] = t(width)
+                sd[p + "conv3.weight"] = t(cout, width, 1, 1)
+                sd[p + "norm3.weight"] = t(cout)
+                sd[p + "norm3.bias"] = t(cout)
+                if bi == 0:
+                    sd[p + "downsample.conv.weight"] = t(cout, cin, 1, 1)
+                    sd[p + "downsample.norm.weight"] = t(cout)
+                    sd[p + "downsample.norm.bias"] = t(cout)
+                cin = cout
+            width *= 2
+    else:
+        sd["pretrained.model.patch_embed.proj.weight"] = t(C, 3, cfg.patch, cfg.patch)
+        sd["pretrained.model.patch_embed.proj.bias"] = t(C)
+    for i in range(cfg.vit_depth):
+        p = f"pretrained.model.blocks.{i}."
+        sd[p + "norm1.weight"] = t(C)
+        sd[p + "norm1.bias"] = t(C)
+        sd[p + "attn.qkv.weight"] = t(3 * C, C)
+        sd[p + "attn.qkv.bias"] = t(3 * C)
+        sd[p + "attn.proj.weight"] = t(C, C)
+        sd[p + "attn.proj.bias"] = t(C)
+        sd[p + "norm2.weight"] = t(C)
+        sd[p + "norm2.bias"] = t(C)
+        sd[p + "mlp.fc1.weight"] = t(cfg.vit_mlp, C)
+        sd[p + "mlp.fc1.bias"] = t(cfg.vit_mlp)
+        sd[p + "mlp.fc2.weight"] = t(C, cfg.vit_mlp)
+        sd[p + "mlp.fc2.bias"] = t(C)
+    ra = cfg.reassemble
+    posts = [(3, ra[2], "none"), (4, ra[3], "down2")]
+    if not cfg.hybrid:
+        posts += [(1, ra[0], "up4"), (2, ra[1], "up2")]
+    for n, cout, kind in posts:
+        p = f"pretrained.act_postprocess{n}."
+        sd[p + "0.project.0.weight"] = t(C, 2 * C)
+        sd[p + "0.project.0.bias"] = t(C)
+        sd[p + "3.weight"] = t(cout, C, 1, 1)
+        sd[p + "3.bias"] = t(cout)
+        if kind in ("up4", "up2"):
+            k = 4 if kind == "up4" else 2
+            sd[p + "4.weight"] = t(cout, cout, k, k)
+            sd[p + "4.bias"] = t(cout)
+        elif kind == "down2":
+            sd[p + "4.weight"] = t(cout, cout, 3, 3)
+            sd[p + "4.bias"] = t(cout)
+    for i, cin in enumerate(ra, 1):
+        sd[f"scratch.layer{i}_rn.weight"] = t(F, cin, 3, 3)
+    for n in range(1, 5):
+        p = f"scratch.refinenet{n}."
+        for rcu in ("resConfUnit1", "resConfUnit2"):
+            sd[p + rcu + ".conv1.weight"] = t(F, F, 3, 3)
+            sd[p + rcu + ".conv1.bias"] = t(F)
+            sd[p + rcu + ".conv2.weight"] = t(F, F, 3, 3)
+            sd[p + rcu + ".conv2.bias"] = t(F)
+        sd[p + "out_conv.weight"] = t(F, F, 1, 1)
+        sd[p + "out_conv.bias"] = t(F)
+    sd["scratch.output_conv.0.weight"] = t(F // 2, F, 3, 3)
+    sd["scratch.output_conv.0.bias"] = t(F // 2)
+    sd["scratch.output_conv.2.weight"] = t(32, F // 2, 3, 3)
+    sd["scratch.output_conv.2.bias"] = t(32)
+    sd["scratch.output_conv.4.weight"] = t(1, 32, 1, 1)
+    sd["scratch.output_conv.4.bias"] = t(1)
+    return sd
+
+
+@pytest.mark.parametrize("hybrid", [False, True])
+def test_state_dict_conversion(hybrid):
+    from gsplat_tpu.depth.weights import convert_state_dict
+    cfg = _small_cfg(hybrid=hybrid)
+    sd = _synth_state_dict(cfg)
+    params = convert_state_dict(sd, cfg)
+    ref = init_params(jax.random.PRNGKey(0), cfg, grid=4)
+
+    # same tree structure (minus the static 'stride' ints) and shapes
+    def shapes(tree):
+        return jax.tree_util.tree_map(
+            lambda x: np.shape(x), tree)
+
+    s_conv = jax.tree_util.tree_structure(shapes(params))
+    s_ref = jax.tree_util.tree_structure(shapes(ref))
+    assert s_conv == s_ref
+    for a, b in zip(jax.tree_util.tree_leaves(shapes(params)),
+                    jax.tree_util.tree_leaves(shapes(ref))):
+        assert a == b
+
+    # converted params run
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    x = jnp.ones((1, 64, 64, 3)) * 0.2
+    y = dpt_forward(params, cfg, x)
+    assert y.shape == (1, 64, 64)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_pos_embed_resize_identity():
+    from gsplat_tpu.depth.dpt import resize_pos_embed
+    pos = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 17, 8)).astype(np.float32))
+    out = resize_pos_embed(pos, 4, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(pos), atol=1e-6)
