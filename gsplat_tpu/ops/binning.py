@@ -51,7 +51,9 @@ def bin_gaussians(pre: PreprocessOut, grid_x: int, grid_y: int,
     # on TPU, and pad slots land exactly on the sentinel id P.
     nr_idx = jnp.minimum(num_rendered, max_instances - 1)
     mark = jnp.zeros((max_instances,), jnp.int32)
-    mark = mark.at[offsets].add(1, mode="drop")
+    # offsets is a cumsum, i.e. already sorted — tell XLA so the scatter
+    # lowers to the fast sorted path.
+    mark = mark.at[offsets].add(1, mode="drop", indices_are_sorted=True)
     mark = mark.at[nr_idx].add(1)
     inst_gauss = jnp.cumsum(mark) - 1
     inst_gauss = jnp.minimum(inst_gauss, P).astype(jnp.int32)

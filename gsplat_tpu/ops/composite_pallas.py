@@ -49,7 +49,12 @@ from gsplat_tpu.ops.composite_ref import ALPHA_MAX, ALPHA_MIN, T_EPS
 from gsplat_tpu.ops.preprocess import TILE_X, TILE_Y
 
 TILE_PIX = TILE_X * TILE_Y  # 256
-CHUNK = 256                  # instances per DMA/compute batch
+CHUNK = 128                  # instances per DMA/compute batch.  Tiles hold
+                             # ~250 instances on average, so per-tile padding
+                             # to CHUNK multiples wastes ~CHUNK/2 slots per
+                             # tile across kernel compute + DMA + the attr
+                             # gather; 128 halves that tax vs 256 while
+                             # keeping the MXU contraction dim full (128)
 _HI = jax.lax.Precision.HIGHEST
 
 
@@ -277,11 +282,18 @@ def _backward_kernel(grid_x: int, C: int, R: int,
         def _():
             dma_out(slot, c + 2).wait()
 
-        dbuf[slot, 0] = jnp.sum(dpow * (-(A * dx + B * dy)), axis=1)
-        dbuf[slot, 1] = jnp.sum(dpow * (-(Cc * dy + B * dx)), axis=1)
-        dbuf[slot, 2] = jnp.sum(dpow * (-0.5 * dx * dx), axis=1)
-        dbuf[slot, 3] = jnp.sum(dpow * (-dx * dy), axis=1)
-        dbuf[slot, 4] = jnp.sum(dpow * (-0.5 * dy * dy), axis=1)
+        # six moment sums sharing the dpow*dx / dpow*dy products:
+        #   dmean2d = -(A Sx + B Sy, Cc Sy + B Sx), dconic = -(.5 Sxx, Sxy,
+        #   .5 Syy) with S** = sum_pix dpow * dx**a dy**b (backward.cu:617-636)
+        pdx = dpow * dx
+        pdy = dpow * dy
+        sx = jnp.sum(pdx, axis=1, keepdims=True)
+        sy = jnp.sum(pdy, axis=1, keepdims=True)
+        dbuf[slot, 0] = (-(A * sx + B * sy))[:, 0]
+        dbuf[slot, 1] = (-(Cc * sy + B * sx))[:, 0]
+        dbuf[slot, 2] = jnp.sum(pdx * (-0.5 * dx), axis=1)
+        dbuf[slot, 3] = jnp.sum(pdx * (-dy), axis=1)
+        dbuf[slot, 4] = jnp.sum(pdy * (-0.5 * dy), axis=1)
         dbuf[slot, 5] = jnp.sum(d_op, axis=1)
         # d_feat [C,K] = d_out [C,256] @ w^T [256,K]
         dbuf[slot, ATTR_BASE:ATTR_BASE + C] = jax.lax.dot_general(
