@@ -50,8 +50,6 @@ def main():
     N = 500_000
     cam, g = build_scene(N, W, H)
     bg = jnp.zeros(3)
-    cfg = RasterizeConfig(width=W, height=H, max_instances=1 << 22,
-                          backend="auto")
     cam_kw = dict(
         viewmatrix=jnp.asarray(cam.world_view_transform),
         projmatrix=jnp.asarray(cam.full_proj_transform),
@@ -59,6 +57,23 @@ def main():
         tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy, bg=bg,
     )
     tgt = jnp.zeros((3, H, W))
+
+    # Size the fixed instance capacity the way the training loop does:
+    # measure the scene's instance count once, provision 1.25x headroom
+    # (the overflow flag guards capacity misses; binning/gather/sort costs
+    # all scale with capacity, so over-provisioning 2x is pure waste).
+    @jax.jit
+    def count_instances(g):
+        pre = pre_lib.preprocess(
+            g["means3d"], g["scales"], g["rotations"], g["opacities"],
+            g["shs"], 3, cam_kw["viewmatrix"], cam_kw["projmatrix"],
+            cam_kw["campos"], cam_kw["tan_fovx"], cam_kw["tan_fovy"], W, H)
+        return jnp.sum(pre.tiles_touched)
+    nr0 = int(count_instances(g))
+    max_inst = ((int(nr0 * 1.25) + (1 << 17) - 1) >> 17) << 17
+    print(f"# instances={nr0} capacity={max_inst}", file=sys.stderr, flush=True)
+    cfg = RasterizeConfig(width=W, height=H, max_instances=max_inst,
+                          backend="auto")
 
     @jax.jit
     def fwd(g):

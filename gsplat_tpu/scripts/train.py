@@ -142,7 +142,8 @@ def main(argv=None):
         test_iterations=set(args.test_iterations),
         save_iterations=set(args.save_iterations),
         checkpoint_iterations=set(args.checkpoint_iterations),
-        callback=log_cb, first_iter=first_iter)
+        callback=log_cb, first_iter=first_iter,
+        profile_dir=getattr(args, "profile_dir", "") or None)
     metrics_log.close()
     print(f"\nTraining complete in {elapsed:.1f}s.")
 

@@ -228,7 +228,10 @@ class Trainer:
 
     def train(self, iterations=None, *, test_iterations=(), save_iterations=(),
               checkpoint_iterations=(), log_every=10, callback=None,
-              first_iter=0):
+              first_iter=0, profile_dir=None, profile_iters=(50, 80)):
+        """``profile_dir``: capture a jax.profiler trace (XProf-compatible)
+        over iterations [profile_iters) — the TPU equivalent of the
+        reference's torch.cuda.Event iter timing (train.py:63-64; SURVEY §5)."""
         opt = self.opt
         iterations = iterations or opt.iterations
         m = self.model
@@ -239,6 +242,12 @@ class Trainer:
         batches = None  # lazy per-camera cache
         t_start = time.time()
         for it in range(first_iter + 1, iterations + 1):
+            if profile_dir and it - first_iter == profile_iters[0]:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and it - first_iter == profile_iters[1]:
+                jax.block_until_ready(m.params.xyz)
+                jax.profiler.stop_trace()
+                print(f"[it {it}] profiler trace written to {profile_dir}")
             # live-viewer poll (reference train.py:71-84)
             if self.gui_source_path is not None:
                 from gsplat_tpu.viz import network_gui

@@ -111,6 +111,43 @@ def main():
     t_comp = timeit(comp_fn, pre, feats, bins)
     print(f"pack+fwd kernel            {t_comp:8.2f} ms")
 
+    # --- isolate: attr pack (gather), kernel fwd, kernel bwd --------------
+    from gsplat_tpu.ops import composite_pallas as cp
+    from gsplat_tpu.ops.segment_reduce import gather_rows
+
+    C = feats.shape[1] + 5
+    R = ((cp.ATTR_BASE + feats.shape[1] + 7) // 8) * 8
+
+    def build_attr(p, f, b):
+        table = jnp.concatenate(
+            [p.means2d, p.conic, p.opacity[:, None], f], axis=1)
+        table = jnp.pad(table, ((0, 1), (0, R - table.shape[1])))
+        gid = jnp.minimum(b.gauss_id, N)
+        attr = gather_rows(table, gid, False)
+        return jnp.pad(attr, ((0, cp.CHUNK), (0, 0)))
+
+    pack_fn = jax.jit(build_attr)
+    t_pack = timeit(pack_fn, pre, feats, bins)
+    print(f"  attr pack (gather)       {t_pack:8.2f} ms")
+
+    attr = pack_fn(pre, feats, bins)
+    num_tiles = cfg.grid_x * cfg.grid_y
+    ranges = jnp.stack([bins.tile_start, bins.tile_count], axis=1)
+    pad_rows = (-ranges.shape[0]) % 8
+    if pad_rows:
+        ranges = jnp.pad(ranges, ((0, pad_rows), (0, 0)))
+    static = (cfg.grid_x, num_tiles, C, R, False)
+    kf = jax.jit(lambda a, r: cp._pallas_forward(static, a, r))
+    t_kf = timeit(kf, attr, ranges)
+    print(f"  fwd kernel alone         {t_kf:8.2f} ms")
+
+    packed = kf(attr, ranges)
+    dpk = jnp.ones_like(packed)
+    kb = jax.jit(lambda a, r, pk, d: cp._composite_bwd(
+        static, (a, r, pk), d)[0])
+    t_kb = timeit(kb, attr, ranges, packed, dpk, n=5)
+    print(f"  bwd kernel alone(+scrub) {t_kb:8.2f} ms")
+
     full_fn = jax.jit(lambda *a: rasterize(cfg, *a, **cam_kw,
                                            bg=jnp.zeros(3))["render"])
     t_full = timeit(full_fn, *args)
