@@ -8,7 +8,10 @@ backward.cu:415-639).  TPU-native design:
 - Instance attributes (mean2d, conic, opacity, packed feature channels) live
   in ONE row-major table laid out chunk-major ``[NCH, R, CHUNK]`` so each
   chunk is a single contiguous double-buffered DMA HBM->VMEM; the kernel
-  slices rows in VMEM.
+  slices rows in VMEM.  Binning pads every tile's sorted segment to a CHUNK
+  multiple IN the sort (pad-inline, ops/binning.py), so this table is one
+  gather of the sorted id list plus a free reshape — Mosaic requires
+  128-aligned block offsets, which the aligned segments provide.
 - Inside a chunk everything is dense VPU/MXU work on [CHUNK, 256] arrays:
   the front-to-back alpha recurrence is a log-step cumulative product along
   the chunk axis (Mosaic has no cumprod primitive), and all output channels
@@ -399,12 +402,12 @@ def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
     """Drop-in replacement for composite_tiled (same contract):
     returns (img [H,W,C] pre-background, T_final [H,W], overflow []).
 
-    ``bins`` is the raw sorted output of ``binning.bin_gaussians``; the
-    chunk-aligned padded layout the kernels need is constructed HERE at chunk
-    granularity (16k elements, not 4M) and realized with two wide-row
-    gathers — TPU scalar gathers and searchsorted over millions of queries
-    are ~50x slower than row gathers, so everything per-slot is derived by
-    broadcasting per-chunk values.
+    ``bins`` comes from ``binning.bin_gaussians`` with pad-inline alignment:
+    every tile's sorted segment is already padded to a CHUNK multiple and
+    starts CHUNK-aligned, so the kernels' blocked attribute table is ONE row
+    gather in sorted order plus a free reshape — no padded relayout, no
+    second gather (TPU indexed ops cost ~7ns/row; the old relayout's extra
+    4M-row id gather alone was ~25ms).
     """
     grid_x = (width + TILE_X - 1) // TILE_X
     grid_y = (height + TILE_Y - 1) // TILE_Y
@@ -415,46 +418,21 @@ def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
     assert I % CHUNK == 0, "max_instances must be a multiple of CHUNK"
     NCH = I // CHUNK
     R = ((ATTR_BASE + C + 7) // 8) * 8
-    T = num_tiles
+    overflow = bins.overflow
 
-    # --- chunk-granular padded layout -----------------------------------
-    tile_chunks = (bins.tile_count + CHUNK - 1) // CHUNK           # [T]
-    chunk_start = jnp.cumsum(tile_chunks) - tile_chunks            # [T]
-    total_chunks = jnp.sum(tile_chunks)
-    overflow = bins.overflow | (total_chunks > NCH)
-
-    # chunk index -> owning tile (sentinel row T absorbs the tail)
-    tiles_ext = jnp.arange(T + 1, dtype=jnp.int32)
-    tc_ext = jnp.concatenate([tile_chunks, jnp.array([NCH], jnp.int32)])
-    chunk_tile = jnp.repeat(tiles_ext, tc_ext, total_repeat_length=NCH)
-    cs_ext = jnp.concatenate([chunk_start, total_chunks[None]])
-    ts_ext = jnp.concatenate([bins.tile_start, jnp.array([0], jnp.int32)])
-    cnt_ext = jnp.concatenate([bins.tile_count, jnp.array([0], jnp.int32)])
-    chunk_seq = jnp.arange(NCH, dtype=jnp.int32) - cs_ext[chunk_tile]
-    src_base = ts_ext[chunk_tile] + chunk_seq * CHUNK              # [NCH]
-    count_of_chunk = cnt_ext[chunk_tile]                           # [NCH]
-
-    lane = jnp.arange(CHUNK, dtype=jnp.int32)
-    rank = chunk_seq[:, None] * CHUNK + lane[None, :]              # [NCH,CHUNK]
-    valid = rank < count_of_chunk[:, None]
-    src = jnp.clip(jnp.where(valid, src_base[:, None] + lane[None, :], 0),
-                   0, I - 1).reshape(-1)
-
-    # --- packed attribute table, ONE small-source wide gather -----------
-    # TPU gather throughput collapses when the SOURCE is large (~175 ms for
-    # a 4M-row gather from a 256MB source vs ~27 ms from a 32MB one), so we
-    # compose the padding permutation in index space (scalar gathers from
-    # small int32 arrays) and do a single table gather at the end.
+    # packed attribute table gathered once in sorted-instance order; pad
+    # entries carry the sentinel id P -> the zero row (alpha 0, masked).
     table = jnp.concatenate(
         [means2d, conic, opacity[:, None], feats], axis=1)         # [P, 6+C]
     table = jnp.pad(table, ((0, 1), (0, R - ATTR_BASE - C)))       # sentinel
-    gid_padded = jnp.where(valid.reshape(-1),
-                           jnp.minimum(bins.gauss_id[src], P), P)
+    gid = jnp.minimum(bins.gauss_id, P)
     from gsplat_tpu.ops.segment_reduce import gather_rows
-    attr = gather_rows(table, gid_padded, interpret)               # [I, R]
+    attr = gather_rows(table, gid, interpret)                      # [I, R]
     attr = attr.reshape(NCH, CHUNK, R).swapaxes(1, 2)              # [NCH,R,CHUNK]
 
-    ranges = jnp.stack([chunk_start, bins.tile_count], axis=1)
+    # per-tile (first block, real count); starts are CHUNK-aligned by the
+    # binning construction
+    ranges = jnp.stack([bins.tile_start // CHUNK, bins.tile_count], axis=1)
     pad_rows = (-ranges.shape[0]) % 8
     if pad_rows:
         ranges = jnp.pad(ranges, ((0, pad_rows), (0, 0)))

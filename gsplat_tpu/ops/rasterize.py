@@ -91,10 +91,14 @@ def rasterize(
     if means2d_offset is not None:
         pre = pre._replace(means2d=pre.means2d + means2d_offset)
 
-    # Binning is index bookkeeping — no gradients flow through it.
+    # Binning is index bookkeeping — no gradients flow through it.  The
+    # pallas kernels need CHUNK-aligned per-tile segments (pad-inline sort);
+    # the jnp path takes align=1 (no pads).
+    backend = _resolve_backend(config.backend)
     pre_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, pre)
     bins = binning_lib.bin_gaussians(
-        pre_sg, config.grid_x, config.grid_y, config.max_instances
+        pre_sg, config.grid_x, config.grid_y, config.max_instances,
+        align=128 if backend == "pallas" else 1,
     )
 
     # Pack channels: rgb(3) + depth(1) + weight(1) [+ segment(S)].
@@ -104,7 +108,6 @@ def rasterize(
         feats.append(segments)
     feats = jnp.concatenate(feats, axis=1)
 
-    backend = _resolve_backend(config.backend)
     overflow = bins.overflow
     if backend == "pallas":
         from gsplat_tpu.ops.composite_pallas import composite_pallas

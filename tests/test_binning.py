@@ -1,0 +1,102 @@
+"""Binning invariants: sorted order, histogram-vs-searchsorted counts,
+pad-inline CHUNK alignment (the property the Pallas kernels rely on)."""
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from gsplat_tpu.core.cameras import Camera
+from gsplat_tpu.ops import binning as bin_lib
+from gsplat_tpu.ops import preprocess as pre_lib
+
+
+def _make(rng, n=800, W=160, H=112):
+    fovx = math.radians(65.0)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
+    cam = Camera(colmap_id=0, R=np.eye(3), T=np.array([0.0, 0.0, 4.0]),
+                 FoVx=fovx, FoVy=fovy,
+                 image=np.zeros((3, H, W), np.float32), image_name="b", uid=0)
+    pre = pre_lib.preprocess(
+        jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32)),
+        jnp.asarray(np.exp(rng.standard_normal((n, 3)) * 0.5 - 2.5).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.2, 0.9, n).astype(np.float32)),
+        jnp.asarray((rng.standard_normal((n, 16, 3)) * 0.3).astype(np.float32)),
+        3, jnp.asarray(cam.world_view_transform),
+        jnp.asarray(cam.full_proj_transform), jnp.asarray(cam.camera_center),
+        cam.tan_fovx, cam.tan_fovy, W, H)
+    gx = (W + pre_lib.TILE_X - 1) // pre_lib.TILE_X
+    gy = (H + pre_lib.TILE_Y - 1) // pre_lib.TILE_Y
+    return pre, gx, gy
+
+
+def _brute_counts(pre, gx, gy):
+    counts = np.zeros(gx * gy, np.int64)
+    rmin = np.asarray(pre.rect_min)
+    rmax = np.asarray(pre.rect_max)
+    vis = np.asarray(pre.visible)
+    for g in range(rmin.shape[0]):
+        if not vis[g]:
+            continue
+        for ty in range(rmin[g, 1], rmax[g, 1]):
+            for tx in range(rmin[g, 0], rmax[g, 0]):
+                counts[ty * gx + tx] += 1
+    return counts
+
+
+def test_histogram_counts_match_bruteforce():
+    rng = np.random.default_rng(0)
+    pre, gx, gy = _make(rng)
+    counts = np.asarray(bin_lib._tile_histogram(pre, gx, gy))
+    np.testing.assert_array_equal(counts, _brute_counts(pre, gx, gy))
+
+
+def test_aligned_segments():
+    rng = np.random.default_rng(1)
+    pre, gx, gy = _make(rng)
+    P = pre.depths.shape[0]
+    align = 128
+    bins = bin_lib.bin_gaussians(pre, gx, gy, 1 << 14, align=align)
+    assert not bool(bins.overflow)
+    start = np.asarray(bins.tile_start)
+    count = np.asarray(bins.tile_count)
+    gid = np.asarray(bins.gauss_id)
+    tile = np.asarray(bins.tile_id)
+    depths = np.asarray(pre.depths)
+
+    assert (start % align == 0).all()
+    # segments: [start, start+count) real instances of that tile, depth-sorted,
+    # then pads (sentinel id) up to the aligned end
+    for t in range(gx * gy):
+        seg = gid[start[t]:start[t] + count[t]]
+        assert (seg < P).all(), t
+        assert (tile[start[t]:start[t] + count[t]] == t).all()
+        d = depths[seg]
+        assert (np.diff(d) >= -1e-6).all(), f"tile {t} not depth sorted"
+        end = start[t] + count[t]
+        aligned_end = start[t] + ((count[t] + align - 1) // align) * align
+        assert (gid[end:aligned_end] == P).all(), f"tile {t} pads wrong"
+
+    # total real instances conserved
+    assert count.sum() == int(np.asarray(pre.tiles_touched).sum())
+
+
+def test_align1_matches_reference_searchsorted():
+    rng = np.random.default_rng(2)
+    pre, gx, gy = _make(rng)
+    bins = bin_lib.bin_gaussians(pre, gx, gy, 1 << 14, align=1)
+    tile = np.asarray(bins.tile_id)
+    start = np.asarray(bins.tile_start)
+    count = np.asarray(bins.tile_count)
+    T = gx * gy
+    ss_start = np.searchsorted(tile, np.arange(T))
+    ss_end = np.searchsorted(tile, np.arange(T) + 1)
+    np.testing.assert_array_equal(start, ss_start)
+    np.testing.assert_array_equal(count, ss_end - ss_start)
+
+
+def test_overflow_detection():
+    rng = np.random.default_rng(3)
+    pre, gx, gy = _make(rng)
+    bins = bin_lib.bin_gaussians(pre, gx, gy, 256, align=128)
+    assert bool(bins.overflow)

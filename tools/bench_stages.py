@@ -130,13 +130,15 @@ def main():
     t_pack = timeit(pack_fn, pre, feats, bins)
     print(f"  attr pack (gather)       {t_pack:8.2f} ms")
 
-    attr = pack_fn(pre, feats, bins)
+    attr0 = pack_fn(pre, feats, bins)
+    NCH = cfg.max_instances // cp.CHUNK
+    attr = attr0[:NCH * cp.CHUNK].reshape(NCH, cp.CHUNK, R).swapaxes(1, 2)
     num_tiles = cfg.grid_x * cfg.grid_y
-    ranges = jnp.stack([bins.tile_start, bins.tile_count], axis=1)
+    ranges = jnp.stack([bins.tile_start // cp.CHUNK, bins.tile_count], axis=1)
     pad_rows = (-ranges.shape[0]) % 8
     if pad_rows:
         ranges = jnp.pad(ranges, ((0, pad_rows), (0, 0)))
-    static = (cfg.grid_x, num_tiles, C, R, False)
+    static = (cfg.grid_x, num_tiles, C, R, NCH, False)
     kf = jax.jit(lambda a, r: cp._pallas_forward(static, a, r))
     t_kf = timeit(kf, attr, ranges)
     print(f"  fwd kernel alone         {t_kf:8.2f} ms")
