@@ -158,41 +158,51 @@ def _forward_kernel(grid_x: int, C: int, R: int,
 
         dma(slot, c).wait()
 
-        k_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-        pos = c * CHUNK + k_idx          # 0-based position in tile list
-        valid = pos < count
-        a, mask, _ = _chunk_alpha(buf[slot], px, py, valid)
-        mask = mask & (done_carry < 1)   # pixel already terminated earlier
-        a = jnp.where(mask, a, 0.0)
+        # Early exit: once every pixel of the tile has terminated, remaining
+        # chunks contribute nothing — skip their compute entirely.  (DMA
+        # start/wait stay unconditional: the slot buffers are reused, so a
+        # started copy must always be waited before its slot is restarted.)
+        def compute(carry):
+            T, done_carry, nc, acc = carry
+            k_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+            pos = c * CHUNK + k_idx          # 0-based position in tile list
+            valid = pos < count
+            a, mask, _ = _chunk_alpha(buf[slot], px, py, valid)
+            mask = mask & (done_carry < 1)   # pixel already terminated earlier
+            a = jnp.where(mask, a, 0.0)
 
-        # ONE scan covers the whole termination semantics.  With the plain
-        # cumulative transmittance T_incl (non-increasing along the chunk),
-        # "contributes" is exactly mask & (T_incl >= eps): the first masked
-        # instance that would push T below eps is the CUDA trigger, itself
-        # skipped, and everything after it is below eps too (forward.cu:
-        # 351-358).  The frozen exit transmittance is the smallest T_incl
-        # still >= eps (or the entry T when the first instance triggers).
-        T_incl = T * _cumprod0(1.0 - a)
-        contrib = mask & (T_incl >= T_EPS)
-        a_eff = jnp.where(contrib, a, 0.0)
-        T_excl = jnp.where(a_eff > 0.0, T_incl / (1.0 - a_eff), T_incl)
-        w = a_eff * T_excl               # [K,256]
+            # ONE scan covers the whole termination semantics.  With the plain
+            # cumulative transmittance T_incl (non-increasing along the chunk),
+            # "contributes" is exactly mask & (T_incl >= eps): the first masked
+            # instance that would push T below eps is the CUDA trigger, itself
+            # skipped, and everything after it is below eps too (forward.cu:
+            # 351-358).  The frozen exit transmittance is the smallest T_incl
+            # still >= eps (or the entry T when the first instance triggers).
+            T_incl = T * _cumprod0(1.0 - a)
+            contrib = mask & (T_incl >= T_EPS)
+            a_eff = jnp.where(contrib, a, 0.0)
+            T_excl = jnp.where(a_eff > 0.0, T_incl / (1.0 - a_eff), T_incl)
+            w = a_eff * T_excl               # [K,256]
 
-        T_frozen = jnp.minimum(
-            T, jnp.min(jnp.where(T_incl >= T_EPS, T_incl, jnp.inf),
-                       axis=0, keepdims=True))
-        T_new = jnp.maximum(T_incl[-1:], T_frozen)
-        done_carry = jnp.maximum(done_carry,
-                                 (T_incl[-1:] < T_EPS).astype(jnp.int32))
+            T_frozen = jnp.minimum(
+                T, jnp.min(jnp.where(T_incl >= T_EPS, T_incl, jnp.inf),
+                           axis=0, keepdims=True))
+            T_new = jnp.maximum(T_incl[-1:], T_frozen)
+            done_carry = jnp.maximum(done_carry,
+                                     (T_incl[-1:] < T_EPS).astype(jnp.int32))
 
-        acc = acc + jax.lax.dot_general(
-            buf[slot, ATTR_BASE:ATTR_BASE + C], w,
-            (((1,), (0,)), ((), ())), precision=_HI)
+            acc = acc + jax.lax.dot_general(
+                buf[slot, ATTR_BASE:ATTR_BASE + C], w,
+                (((1,), (0,)), ((), ())), precision=_HI)
 
-        # n_contrib: 1-based position of last contributor (forward.cu:356-379)
-        nc = jnp.maximum(nc, jnp.max(
-            jnp.where(contrib, pos + 1, 0), axis=0, keepdims=True))
-        return T_new, done_carry, nc, acc
+            # n_contrib: 1-based position of last contributor
+            # (forward.cu:356-379)
+            nc = jnp.maximum(nc, jnp.max(
+                jnp.where(contrib, pos + 1, 0), axis=0, keepdims=True))
+            return T_new, done_carry, nc, acc
+
+        return jax.lax.cond(jnp.min(done_carry) < 1, compute,
+                            lambda carry: carry, carry)
 
     T, _done, nc, acc = jax.lax.fori_loop(
         0, nchunks, body,
@@ -210,7 +220,13 @@ def _backward_kernel(grid_x: int, C: int, R: int,
     t = pl.program_id(0)
     chunk0 = ranges_ref[t % 8, 0]
     count = ranges_ref[t % 8, 1]
-    nchunks = (count + CHUNK - 1) // CHUNK
+    # Chunk-limited walk: chunks past the last contributing instance
+    # (per-tile max n_contrib, precomputed on host into ranges col 2) have
+    # zero gradient everywhere — skip them entirely (no DMA, no compute);
+    # the host zeroes their d_attr slices in the scrub pass.  Transmittance
+    # reconstruction stays exact: skipped instances have a_eff = 0, so
+    # T_final is already the transmittance entering the last kept chunk.
+    nchunks = ranges_ref[t % 8, 2]
     px, py = _pixel_coords(t, grid_x)
 
     n_contrib = fwd_ref[0, C + 1][None, :]   # [1,256] float positions (exact)
@@ -288,6 +304,8 @@ def _backward_kernel(grid_x: int, C: int, R: int,
         # six moment sums sharing the dpow*dx / dpow*dy products:
         #   dmean2d = -(A Sx + B Sy, Cc Sy + B Sx), dconic = -(.5 Sxx, Sxy,
         #   .5 Syy) with S** = sum_pix dpow * dx**a dy**b (backward.cu:617-636)
+        # (an MXU pixel-moment-basis variant was measured SLOWER than these
+        # VPU reduction trees — [K,256]x[256,8] matmuls waste the MXU at N=8)
         pdx = dpow * dx
         pdy = dpow * dy
         sx = jnp.sum(pdx, axis=1, keepdims=True)
@@ -366,11 +384,23 @@ def _composite_bwd(static, res, d_packed):
     grid_x, num_tiles, C, R, NCH, interpret = static
     attr, ranges, packed = res
     kernel = functools.partial(_backward_kernel, grid_x, C, R)
+
+    # Per-tile chunk limit: the last contributing instance position is
+    # max_pix n_contrib (packed row C+1); chunks past it carry zero gradient
+    # and are skipped by the kernel (ranges col 2), then zeroed here.
+    counts = ranges[:, 1]
+    nch_full = (counts + CHUNK - 1) // CHUNK
+    nc_tile = jnp.max(packed[:, C + 1], axis=1).astype(jnp.int32)  # [Tpad]
+    nc_tile = jnp.pad(nc_tile, (0, ranges.shape[0] - num_tiles))
+    nbw = jnp.minimum((nc_tile + CHUNK - 1) // CHUNK, nch_full)
+    ranges_b = jnp.concatenate(
+        [ranges, nbw[:, None], jnp.zeros_like(nbw)[:, None]], axis=1)
+
     d_attr = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((8, 2), lambda t: (t // 8, 0),
+            pl.BlockSpec((8, 4), lambda t: (t // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, C + 2, TILE_PIX), lambda t: (t, 0, 0)),
@@ -386,11 +416,18 @@ def _composite_bwd(static, res, d_packed):
         out_shape=jax.ShapeDtypeStruct((NCH, R, CHUNK), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(ranges, attr, packed, d_packed)
-    # chunks beyond every tile's range are never written; they map to the
-    # sentinel gaussian row and are dropped by the gather adjoint, but NaN
-    # garbage there would still poison debug sums — scrub.
-    d_attr = jnp.where(jnp.isfinite(d_attr), d_attr, 0.0)
+    )(ranges_b, attr, packed, d_packed)
+    # Scrub: (a) chunks beyond every tile's range are never written (they map
+    # to the sentinel gaussian row but NaN garbage would poison debug sums);
+    # (b) chunks the kernel skipped via the n_contrib limit hold garbage over
+    # REAL gaussian ids — both zeroed in one fused pass.
+    starts = ranges[:num_tiles, 0]
+    cidx = jnp.arange(NCH, dtype=jnp.int32)
+    town = jnp.clip(
+        jnp.searchsorted(starts, cidx, side="right") - 1, 0, num_tiles - 1)
+    written = (cidx - starts[town]) < nbw[town]
+    d_attr = jnp.where(
+        jnp.isfinite(d_attr) & written[:, None, None], d_attr, 0.0)
     return d_attr, _float0_zeros(ranges)
 
 

@@ -179,10 +179,29 @@ def preprocess(
     )
 
     # Tile rect (auxiliary.h:45-56). Note: float-divide then int-trunc like CUDA.
-    rect_min_x = jnp.clip(((point_image[:, 0] - radius) / TILE_X).astype(jnp.int32), 0, grid_x)
-    rect_min_y = jnp.clip(((point_image[:, 1] - radius) / TILE_Y).astype(jnp.int32), 0, grid_y)
-    rect_max_x = jnp.clip(((point_image[:, 0] + radius + TILE_X - 1) / TILE_X).astype(jnp.int32), 0, grid_x)
-    rect_max_y = jnp.clip(((point_image[:, 1] + radius + TILE_Y - 1) / TILE_Y).astype(jnp.int32), 0, grid_y)
+    #
+    # TPU refinement over the CUDA 3*sqrt(lambda_max) square: opacity-aware
+    # per-axis extents.  The composite kernel skips any pixel with
+    # alpha = op*exp(power) < 1/255 (forward.cu:351-358), and the marginal
+    # bound d^T Sigma^-1 d >= dx^2 / Sigma_xx gives
+    # alpha <= op * exp(-dx^2 / (2 Sigma_xx)); so every pixel with
+    # |dx| > sqrt(2 Sigma_xx ln(255 op)) is skipped no matter its dy.  Tiles
+    # outside the (ext_x, ext_y) band therefore contribute EXACTLY nothing
+    # (they never pass the alpha test, and skipped pixels leave T and the
+    # termination untouched) — dropping them changes no output bit while
+    # cutting the instance count ~2x, which all of binning/sort/gather/
+    # composite scale with.  The 1e-3 slack absorbs fp32 rounding in the
+    # kernel's power evaluation and the +1 pixel covers the rect formula's
+    # truncation at the band edge; extents are capped at the CUDA radius so
+    # the rect stays a subset of the reference's (where the cap binds, the
+    # truncation behavior is bit-identical to getRect's).
+    ln_op = jnp.log(jnp.maximum(255.0 * opacities, 1.0))  # 0 when op<=1/255
+    ext_x = jnp.minimum(radius, jnp.sqrt(2.0 * cov2d[:, 0] * (ln_op + 1e-3)) + 1.0)
+    ext_y = jnp.minimum(radius, jnp.sqrt(2.0 * cov2d[:, 2] * (ln_op + 1e-3)) + 1.0)
+    rect_min_x = jnp.clip(((point_image[:, 0] - ext_x) / TILE_X).astype(jnp.int32), 0, grid_x)
+    rect_min_y = jnp.clip(((point_image[:, 1] - ext_y) / TILE_Y).astype(jnp.int32), 0, grid_y)
+    rect_max_x = jnp.clip(((point_image[:, 0] + ext_x + TILE_X - 1) / TILE_X).astype(jnp.int32), 0, grid_x)
+    rect_max_y = jnp.clip(((point_image[:, 1] + ext_y + TILE_Y - 1) / TILE_Y).astype(jnp.int32), 0, grid_y)
     tiles = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
 
     valid = in_frustum & det_ok & (tiles > 0)

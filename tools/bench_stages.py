@@ -62,7 +62,7 @@ def main():
     W, H = 1920, 1080
     N = 500_000
     cam, g = build_scene(N, W, H)
-    cfg = RasterizeConfig(width=W, height=H, max_instances=1 << 22,
+    cfg = RasterizeConfig(width=W, height=H, max_instances=2490368,
                           k_max=2048, backend="pallas")
     cam_kw = dict(
         viewmatrix=jnp.asarray(cam.world_view_transform),
