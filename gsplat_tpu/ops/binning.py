@@ -143,6 +143,8 @@ def bin_gaussians(pre: PreprocessOut, grid_x: int, grid_y: int,
     # is genuinely sorted, which XLA's scatter exploits.
     pos = jnp.minimum(all_offsets, I - 1)
 
+    # Three separate 1-column scatters: measured 17ms vs 50ms for one packed
+    # [n,3]-row scatter (XLA TPU scatter throughput collapses at 3-lane rows).
     def ffill(vals):
         deltas = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]])
         seed = jnp.zeros((I,), jnp.int32).at[pos].add(

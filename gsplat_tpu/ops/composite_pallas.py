@@ -180,9 +180,14 @@ def _forward_kernel(grid_x: int, C: int, R: int,
             # still >= eps (or the entry T when the first instance triggers).
             T_incl = T * _cumprod0(1.0 - a)
             contrib = mask & (T_incl >= T_EPS)
-            a_eff = jnp.where(contrib, a, 0.0)
-            T_excl = jnp.where(a_eff > 0.0, T_incl / (1.0 - a_eff), T_incl)
-            w = a_eff * T_excl               # [K,256]
+            # Exclusive transmittance by a one-sublane shift instead of the
+            # division trick: T_excl_i = T * prod_{j<i}(1-a_j).  For every
+            # contrib row the two agree exactly (any masked j<i of a contrib
+            # i is itself contrib since T_incl is non-increasing), and
+            # non-contrib rows get w=0 anyway — one shift replaces a full
+            # [K,256] divide + two selects.
+            T_excl = jnp.concatenate([T, T_incl[:-1]], axis=0)
+            w = jnp.where(contrib, a * T_excl, 0.0)   # [K,256]
 
             T_frozen = jnp.minimum(
                 T, jnp.min(jnp.where(T_incl >= T_EPS, T_incl, jnp.inf),
@@ -269,9 +274,12 @@ def _backward_kernel(grid_x: int, C: int, R: int,
         one_m = 1.0 - a_eff
 
         # Suffix products within the chunk reconstruct T (division trick,
-        # backward.cu:466-478): T_excl_i = T_after / prod_{j>=i} (1-a_j).
-        suf = _rev_cumprod0(one_m)           # [K,256]
-        T_excl = T_after / suf
+        # backward.cu:466-478): T_excl_i = T_after / prod_{j>=i} (1-a_j),
+        # computed as T_after * rev_cumprod(1/(1-a)) — ONE divide (the
+        # reciprocal, reused below for dL/da) instead of two full-array
+        # divides; safe since a <= 0.99 keeps 1-a >= 0.01.
+        recip = 1.0 / one_m                  # [K,256]
+        T_excl = T_after * _rev_cumprod0(recip)
         w = a_eff * T_excl
 
         # g_i = <feat_i, dL/dout> per pixel: [K,256]
@@ -285,7 +293,7 @@ def _backward_kernel(grid_x: int, C: int, R: int,
         S_i = S + (suf_wg - wg)
 
         da = jnp.where(contrib,
-                       T_excl * g - (S_i + bg_term) / one_m, 0.0)
+                       T_excl * g - (S_i + bg_term) * recip, 0.0)
 
         # chain to opacity / conic / mean2d ------------------------------
         unclamped = raw < ALPHA_MAX           # min() gating (see module doc)
@@ -461,10 +469,14 @@ def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
     # entries carry the sentinel id P -> the zero row (alpha 0, masked).
     table = jnp.concatenate(
         [means2d, conic, opacity[:, None], feats], axis=1)         # [P, 6+C]
-    table = jnp.pad(table, ((0, 1), (0, R - ATTR_BASE - C)))       # sentinel
+    table = jnp.pad(table, ((0, 1), (0, 0)))                       # sentinel
     gid = jnp.minimum(bins.gauss_id, P)
     from gsplat_tpu.ops.segment_reduce import gather_rows
-    attr = gather_rows(table, gid, interpret)                      # [I, R]
+    # Pad to R rows AFTER the gather: gather cost is per ROW (width-blind),
+    # and the pad's VJP slices the dead columns off BEFORE gather_rows'
+    # sort+segment-sum adjoint — 12 sort operands instead of 17.
+    attr = gather_rows(table, gid, interpret)                      # [I, 6+C]
+    attr = jnp.pad(attr, ((0, 0), (0, R - ATTR_BASE - C)))         # [I, R]
     attr = attr.reshape(NCH, CHUNK, R).swapaxes(1, 2)              # [NCH,R,CHUNK]
 
     # per-tile (first block, real count); starts are CHUNK-aligned by the
