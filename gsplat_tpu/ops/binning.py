@@ -143,17 +143,28 @@ def bin_gaussians(pre: PreprocessOut, grid_x: int, grid_y: int,
     # is genuinely sorted, which XLA's scatter exploits.
     pos = jnp.minimum(all_offsets, I - 1)
 
-    # Three separate 1-column scatters: measured 17ms vs 50ms for one packed
-    # [n,3]-row scatter (XLA TPU scatter throughput collapses at 3-lane rows).
-    def ffill(vals):
-        deltas = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]])
+    # TWO scatters instead of three: XLA TPU scatter cost is per ROW and
+    # collapses for multi-lane rows (a packed [n,3] int scatter measured 2.4x
+    # worse than 3 separate), but a complex64 scatter is ONE row op carrying
+    # TWO exact integer channels (meta 21 bits, gid <= 2^24 — both exact in
+    # f32, and so are their deltas and the cumsum partial sums, which never
+    # leave the original value range).
+    def deltas_of(vals):
+        return jnp.concatenate([vals[:1], vals[1:] - vals[:-1]])
+
+    def ffill_i32(vals):
         seed = jnp.zeros((I,), jnp.int32).at[pos].add(
-            deltas, mode="drop", indices_are_sorted=True)
+            deltas_of(vals), mode="drop", indices_are_sorted=True)
         return jnp.cumsum(seed)
 
-    offs = ffill(all_offsets)
-    meta = ffill(all_meta)
-    gid = ffill(all_gid)
+    # Three separate 1-column int32 scatters.  Measured alternatives, all
+    # WORSE on TPU: one [n,3]-row packed scatter 2.4x slower (multi-lane
+    # scatter rows collapse XLA's per-row throughput), one complex64 scatter
+    # carrying two exact-int channels ~5x slower (complex lowers to 2-lane
+    # rows — same collapse).
+    offs = ffill_i32(all_offsets)
+    meta = ffill_i32(all_meta)
+    gid = ffill_i32(all_gid)
 
     k = jnp.arange(I, dtype=jnp.int32) - offs
     colstep = meta & 1

@@ -443,7 +443,8 @@ _composite_core.defvjp(_composite_fwd, _composite_bwd)
 
 
 def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
-                     height: int, interpret: bool = False):
+                     height: int, interpret: bool = False,
+                     const_last_feat: bool = False):
     """Drop-in replacement for composite_tiled (same contract):
     returns (img [H,W,C] pre-background, T_final [H,W], overflow []).
 
@@ -467,15 +468,23 @@ def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
 
     # packed attribute table gathered once in sorted-instance order; pad
     # entries carry the sentinel id P -> the zero row (alpha 0, masked).
+    # ``const_last_feat``: the caller marks feats' last column as a constant
+    # (the weight/ones channel) — keep it OUT of the gathered table and
+    # append it after the gather, so its discarded gradient never enters
+    # gather_rows' sort+segment-sum adjoint (one sort operand fewer).
+    gfeats = feats[:, :-1] if const_last_feat else feats
     table = jnp.concatenate(
-        [means2d, conic, opacity[:, None], feats], axis=1)         # [P, 6+C]
+        [means2d, conic, opacity[:, None], gfeats], axis=1)
     table = jnp.pad(table, ((0, 1), (0, 0)))                       # sentinel
     gid = jnp.minimum(bins.gauss_id, P)
     from gsplat_tpu.ops.segment_reduce import gather_rows
     # Pad to R rows AFTER the gather: gather cost is per ROW (width-blind),
     # and the pad's VJP slices the dead columns off BEFORE gather_rows'
-    # sort+segment-sum adjoint — 12 sort operands instead of 17.
-    attr = gather_rows(table, gid, interpret)                      # [I, 6+C]
+    # sort+segment-sum adjoint — 11-12 sort operands instead of 17.
+    attr = gather_rows(table, gid, interpret)                      # [I, 6+C?]
+    if const_last_feat:
+        ones = jnp.ones((attr.shape[0], 1), attr.dtype)
+        attr = jnp.concatenate([attr, ones], axis=1)               # [I, 6+C]
     attr = jnp.pad(attr, ((0, 0), (0, R - ATTR_BASE - C)))         # [I, R]
     attr = attr.reshape(NCH, CHUNK, R).swapaxes(1, 2)              # [NCH,R,CHUNK]
 

@@ -101,11 +101,15 @@ def rasterize(
         align=128 if backend == "pallas" else 1,
     )
 
-    # Pack channels: rgb(3) + depth(1) + weight(1) [+ segment(S)].
-    feats = [pre.rgb, pre.depths[:, None], jnp.ones_like(pre.depths[:, None])]
+    # Pack channels: rgb(3) + depth(1) [+ segment(S)] + weight(1).  The
+    # constant weight/ones column sits LAST so the pallas path can exclude it
+    # from the gathered attribute table (its gradient is discarded — keeping
+    # it out of gather_rows' sort+segment-sum adjoint drops one sort operand).
+    feats = [pre.rgb, pre.depths[:, None]]
     if config.num_class > 0:
         assert segments is not None
         feats.append(segments)
+    feats.append(jnp.ones_like(pre.depths[:, None]))
     feats = jnp.concatenate(feats, axis=1)
 
     overflow = bins.overflow
@@ -115,6 +119,7 @@ def rasterize(
             pre.means2d, pre.conic, pre.opacity, feats, bins,
             config.width, config.height,
             interpret=jax.default_backend() != "tpu",
+            const_last_feat=True,
         )
     else:
         from gsplat_tpu.ops.composite_tiled import composite_tiled
@@ -128,7 +133,7 @@ def rasterize(
     out = {
         "render": render,
         "depth": img[..., 3],
-        "alpha": img[..., 4],
+        "alpha": img[..., 4 + config.num_class],
         "radii": pre.radii,
         "visibility": pre.visible,
         "overflow": overflow,
@@ -136,5 +141,5 @@ def rasterize(
         "T_final": T_final,
     }
     if config.num_class > 0:
-        out["segment"] = jnp.transpose(img[..., 5:5 + config.num_class], (2, 0, 1))
+        out["segment"] = jnp.transpose(img[..., 4:4 + config.num_class], (2, 0, 1))
     return out

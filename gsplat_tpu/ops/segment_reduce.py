@@ -65,7 +65,9 @@ def _segsum_kernel(R: int,
         gi = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_G, CHUNK), 0)
         onehot = (gi == local[None, :]).astype(jnp.float32)  # [G, CHUNK]
         # rows outside this block (range rounding / other segments / pads)
-        # have local outside [0, G) -> all-zero indicator -> exact masking
+        # have local outside [0, G) -> all-zero indicator -> exact masking.
+        # (Precision HIGH / bf16x3 would halve the MXU passes but Mosaic's
+        # dot lowering only supports DEFAULT and HIGHEST.)
         return acc + jax.lax.dot_general(
             rows[0:R], onehot, (((1,), (1,)), ((), ())), precision=_HI)
 
