@@ -1,0 +1,471 @@
+#!/usr/bin/env python
+"""A/B bench of composite kernel variants on pre-dumped real inputs
+(/tmp/kinputs, from tools/dump_kernel_inputs.py).
+
+Variants probed:
+  fwd A: MXU quadratic-form power (coeff [6,K] x basis [6,256] matmul with
+         tile-local pixel coords) instead of [K,256] VPU dx/dy/power chains.
+  bwd B: MXU pixel-moment basis (dpow @ basis^T) for the 6 moment sums +
+         d_op, with tile-local coords (contraction over the 256 lane dim —
+         previously measured slower; re-test with local coords & layouts).
+"""
+import functools
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gsplat_tpu.ops import composite_pallas as cp
+from gsplat_tpu.ops.composite_ref import ALPHA_MAX, ALPHA_MIN, T_EPS
+
+CHUNK = cp.CHUNK
+TILE_PIX = cp.TILE_PIX
+TILE_X, TILE_Y = 16, 16
+ATTR_BASE = cp.ATTR_BASE
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _sync(x):
+    return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
+
+def timeit(fn, *args, n=10, warmup=2):
+    for _ in range(warmup):
+        r = fn(*args)
+    _sync(r)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = fn(*args)
+    _sync(r)
+    return (time.perf_counter() - t0) / n * 1000.0
+
+
+def _local_pixel_basis():
+    """[6, 256] basis rows (1, qx, qy, qx^2, qy^2, qx*qy) of tile-local
+    pixel-center coords."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIX), 1)
+    qx = (lane % TILE_X).astype(jnp.float32)
+    qy = (lane // TILE_X).astype(jnp.float32)
+    one = jnp.ones_like(qx)
+    return jnp.concatenate([one, qx, qy, qx * qx, qy * qy, qx * qy], axis=0)
+
+
+def _power_mxu(buf, t, grid_x):
+    """power [K,256] via MXU: per-instance quadratic coeffs x pixel basis."""
+    tile_x = (t % grid_x).astype(jnp.float32)
+    tile_y = (t // grid_x).astype(jnp.float32)
+    mlx = buf[0] - tile_x * TILE_X        # [K] tile-local mean x
+    mly = buf[1] - tile_y * TILE_Y
+    A = buf[2]
+    B = buf[3]
+    Cc = buf[4]
+    c0 = -0.5 * (A * mlx * mlx + Cc * mly * mly) - B * mlx * mly
+    cx = A * mlx + B * mly
+    cy = Cc * mly + B * mlx
+    coeff = jnp.stack([c0, cx, cy, -0.5 * A, -0.5 * Cc, -B], axis=0)  # [6,K]
+    basis = _local_pixel_basis()                                       # [6,256]
+    return jax.lax.dot_general(coeff, basis, (((0,), (0,)), ((), ())),
+                               precision=_HI)                          # [K,256]
+
+
+def _fwd_kernel_A(grid_x: int, C: int, R: int,
+                  ranges_ref, attr_ref, img_ref, buf, sems):
+    t = pl.program_id(0)
+    chunk0 = ranges_ref[t % 8, 0]
+    count = ranges_ref[t % 8, 1]
+    nchunks = (count + CHUNK - 1) // CHUNK
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(attr_ref.at[chunk0 + c],
+                                     buf.at[slot], sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(c, carry):
+        T, done_carry, nc, acc = carry
+        slot = c % 2
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            dma((c + 1) % 2, c + 1).start()
+
+        dma(slot, c).wait()
+
+        def compute(carry):
+            T, done_carry, nc, acc = carry
+            k_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+            pos = c * CHUNK + k_idx
+            valid = pos < count
+            power = _power_mxu(buf[slot], t, grid_x)
+            op = buf[slot, 5][:, None]
+            raw = op * jnp.exp(power)
+            alpha = jnp.minimum(ALPHA_MAX, raw)
+            mask = valid & (power <= 0.0) & (alpha >= ALPHA_MIN)
+            mask = mask & (done_carry < 1)
+            a = jnp.where(mask, alpha, 0.0)
+
+            T_incl = T * cp._cumprod0(1.0 - a)
+            contrib = mask & (T_incl >= T_EPS)
+            T_excl = jnp.concatenate([T, T_incl[:-1]], axis=0)
+            w = jnp.where(contrib, a * T_excl, 0.0)
+
+            T_frozen = jnp.minimum(
+                T, jnp.min(jnp.where(T_incl >= T_EPS, T_incl, jnp.inf),
+                           axis=0, keepdims=True))
+            T_new = jnp.maximum(T_incl[-1:], T_frozen)
+            done_carry = jnp.maximum(done_carry,
+                                     (T_incl[-1:] < T_EPS).astype(jnp.int32))
+
+            acc = acc + jax.lax.dot_general(
+                buf[slot, ATTR_BASE:ATTR_BASE + C], w,
+                (((1,), (0,)), ((), ())), precision=_HI)
+            nc = jnp.maximum(nc, jnp.max(
+                jnp.where(contrib, pos + 1, 0), axis=0, keepdims=True))
+            return T_new, done_carry, nc, acc
+
+        return jax.lax.cond(jnp.min(done_carry) < 1, compute,
+                            lambda carry: carry, carry)
+
+    T, _done, nc, acc = jax.lax.fori_loop(
+        0, nchunks, body,
+        (jnp.ones((1, TILE_PIX), jnp.float32),
+         jnp.zeros((1, TILE_PIX), jnp.int32),
+         jnp.zeros((1, TILE_PIX), jnp.int32),
+         jnp.zeros((C, TILE_PIX), jnp.float32)))
+    img_ref[0] = jnp.concatenate([acc, T, nc.astype(jnp.float32)], axis=0)
+
+
+def _pallas_fwd_variant(kernel_body, static, attr, ranges):
+    grid_x, num_tiles, C, R, NCH, interpret = static
+    kernel = functools.partial(kernel_body, grid_x, C, R)
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, 2), lambda t: (t // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, C + 2, TILE_PIX), lambda t: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((num_tiles, C + 2, TILE_PIX),
+                                       jnp.float32),
+        interpret=interpret,
+    )(ranges, attr)
+
+
+# ---------------- backward variant B: MXU moment basis --------------------
+
+def _bwd_kernel_B(grid_x: int, C: int, R: int,
+                  ranges_ref, attr_ref, fwd_ref, dpk_ref,
+                  dattr_ref, buf, dbuf, sems, osems):
+    t = pl.program_id(0)
+    chunk0 = ranges_ref[t % 8, 0]
+    count = ranges_ref[t % 8, 1]
+    nchunks = ranges_ref[t % 8, 2]
+    px, py = cp._pixel_coords(t, grid_x)
+
+    n_contrib = fwd_ref[0, C + 1][None, :]
+    T_final = fwd_ref[0, C][None, :]
+    d_out = dpk_ref[0, 0:C]
+    d_tf = dpk_ref[0, C][None, :]
+    bg_term = T_final * d_tf
+
+    tile_x = (t % grid_x).astype(jnp.float32)
+    tile_y = (t // grid_x).astype(jnp.float32)
+    basis = _local_pixel_basis()          # [6,256]
+
+    def dma_in(slot, c):
+        return pltpu.make_async_copy(attr_ref.at[chunk0 + c],
+                                     buf.at[slot], sems.at[slot])
+
+    def dma_out(slot, c):
+        return pltpu.make_async_copy(dbuf.at[slot],
+                                     dattr_ref.at[chunk0 + c],
+                                     osems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma_in(0, nchunks - 1).start()
+
+    def body(i, carry):
+        c = nchunks - 1 - i
+        T_after, S = carry
+        slot = i % 2
+
+        @pl.when(i + 1 < nchunks)
+        def _():
+            dma_in((i + 1) % 2, c - 1).start()
+
+        dma_in(slot, c).wait()
+
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        pos = c * CHUNK + k_idx
+        valid = pos < count
+        a, mask, (dx, dy, G, raw) = cp._chunk_alpha(buf[slot], px, py, valid)
+        contrib = mask & ((pos + 1).astype(jnp.float32) <= n_contrib)
+        a_eff = jnp.where(contrib, a, 0.0)
+        one_m = 1.0 - a_eff
+
+        recip = 1.0 / one_m
+        T_excl = T_after * cp._rev_cumprod0(recip)
+        w = a_eff * T_excl
+
+        g = jax.lax.dot_general(buf[slot, ATTR_BASE:ATTR_BASE + C], d_out,
+                                (((0,), (0,)), ((), ())), precision=_HI)
+        wg = w * g
+        suf_wg = cp._rev_cumsum0(wg)
+        S_i = S + (suf_wg - wg)
+
+        da = jnp.where(contrib,
+                       T_excl * g - (S_i + bg_term) * recip, 0.0)
+
+        unclamped = raw < ALPHA_MAX
+        dpow = jnp.where(contrib & unclamped, raw * da, 0.0)
+        A = buf[slot, 2]                   # [K]
+        B = buf[slot, 3]
+        Cc = buf[slot, 4]
+        op = buf[slot, 5]
+        mlx = buf[slot, 0] - tile_x * TILE_X
+        mly = buf[slot, 1] - tile_y * TILE_Y
+
+        @pl.when(i >= 2)
+        def _():
+            dma_out(slot, c + 2).wait()
+
+        # ONE MXU matmul gives all pixel-moment sums:
+        # M[k, :] = sum_pix dpow * (1, qx, qy, qx^2, qy^2, qx qy)
+        M = jax.lax.dot_general(dpow, basis, (((1,), (1,)), ((), ())),
+                                precision=_HI)                     # [K,6]
+        M0, M1, M2 = M[:, 0], M[:, 1], M[:, 2]
+        M3, M4, M5 = M[:, 3], M[:, 4], M[:, 5]
+        sx = mlx * M0 - M1                 # sum dpow*dx
+        sy = mly * M0 - M2
+        sxx = mlx * mlx * M0 - 2.0 * mlx * M1 + M3
+        sxy = mlx * mly * M0 - mlx * M2 - mly * M1 + M5
+        syy = mly * mly * M0 - 2.0 * mly * M2 + M4
+        dbuf[slot, 0] = -(A * sx + B * sy)
+        dbuf[slot, 1] = -(Cc * sy + B * sx)
+        dbuf[slot, 2] = -0.5 * sxx
+        dbuf[slot, 3] = -sxy
+        dbuf[slot, 4] = -0.5 * syy
+        # d_op = G*da summed = (dpow/op) summed = M0/op; masked rows have
+        # dpow 0 so op=0 rows only need a safe divide
+        dbuf[slot, 5] = M0 / jnp.maximum(op, 1e-30)
+        dbuf[slot, ATTR_BASE:ATTR_BASE + C] = jax.lax.dot_general(
+            d_out, w, (((1,), (1,)), ((), ())), precision=_HI)
+
+        dma_out(slot, c).start()
+        return T_excl[0:1], S + suf_wg[0:1]
+
+    jax.lax.fori_loop(0, nchunks, body,
+                      (T_final, jnp.zeros((1, TILE_PIX), jnp.float32)))
+
+    @pl.when(nchunks >= 1)
+    def _():
+        dma_out((nchunks - 1) % 2, 0).wait()
+
+    @pl.when(nchunks >= 2)
+    def _():
+        dma_out(nchunks % 2, 1).wait()
+
+
+def _pallas_bwd_variant(kernel_body, static, attr, ranges_b, packed, d_packed):
+    grid_x, num_tiles, C, R, NCH, interpret = static
+    kernel = functools.partial(kernel_body, grid_x, C, R)
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, 4), lambda t: (t // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, C + 2, TILE_PIX), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, C + 2, TILE_PIX), lambda t: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, CHUNK), jnp.float32),
+            pltpu.VMEM((2, R, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((NCH, R, CHUNK), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(ranges_b, attr, packed, d_packed)
+
+
+
+
+# ---------------- stripped fwd: no nc/frozen/done (LOWER BOUND probe) -------
+
+def _fwd_kernel_S(grid_x: int, C: int, R: int,
+                  ranges_ref, attr_ref, img_ref, buf, sems):
+    t = pl.program_id(0)
+    chunk0 = ranges_ref[t % 8, 0]
+    count = ranges_ref[t % 8, 1]
+    nchunks = (count + CHUNK - 1) // CHUNK
+    px, py = cp._pixel_coords(t, grid_x)
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(attr_ref.at[chunk0 + c],
+                                     buf.at[slot], sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(c, carry):
+        T, acc = carry
+        slot = c % 2
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            dma((c + 1) % 2, c + 1).start()
+
+        dma(slot, c).wait()
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        pos = c * CHUNK + k_idx
+        valid = pos < count
+        a, mask, _ = cp._chunk_alpha(buf[slot], px, py, valid)
+        T_incl = T * cp._cumprod0(1.0 - a)
+        T_excl = jnp.concatenate([T, T_incl[:-1]], axis=0)
+        w = a * T_excl
+        acc = acc + jax.lax.dot_general(
+            buf[slot, ATTR_BASE:ATTR_BASE + C], w,
+            (((1,), (0,)), ((), ())), precision=_HI)
+        return T_incl[-1:], acc
+
+    T, acc = jax.lax.fori_loop(
+        0, nchunks, body,
+        (jnp.ones((1, TILE_PIX), jnp.float32),
+         jnp.zeros((C, TILE_PIX), jnp.float32)))
+    img_ref[0] = jnp.concatenate(
+        [acc, T, jnp.zeros((1, TILE_PIX), jnp.float32)], axis=0)
+
+
+def _fwd_kernel_NOEXP(grid_x: int, C: int, R: int,
+                      ranges_ref, attr_ref, img_ref, buf, sems):
+    # exp replaced by identity to cost the transcendental
+    t = pl.program_id(0)
+    chunk0 = ranges_ref[t % 8, 0]
+    count = ranges_ref[t % 8, 1]
+    nchunks = (count + CHUNK - 1) // CHUNK
+    px, py = cp._pixel_coords(t, grid_x)
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(attr_ref.at[chunk0 + c],
+                                     buf.at[slot], sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(c, carry):
+        T, acc = carry
+        slot = c % 2
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            dma((c + 1) % 2, c + 1).start()
+
+        dma(slot, c).wait()
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        pos = c * CHUNK + k_idx
+        valid = pos < count
+        b = buf[slot]
+        dx = b[0][:, None] - px
+        dy = b[1][:, None] - py
+        power = (-0.5 * (b[2][:, None] * dx * dx + b[4][:, None] * dy * dy)
+                 - b[3][:, None] * dx * dy)
+        raw = b[5][:, None] * (1.0 + power)          # fake exp
+        alpha = jnp.minimum(ALPHA_MAX, raw)
+        mask = valid & (power <= 0.0) & (alpha >= ALPHA_MIN)
+        a = jnp.where(mask, alpha, 0.0)
+        T_incl = T * cp._cumprod0(1.0 - a)
+        T_excl = jnp.concatenate([T, T_incl[:-1]], axis=0)
+        w = a * T_excl
+        acc = acc + jax.lax.dot_general(
+            buf[slot, ATTR_BASE:ATTR_BASE + C], w,
+            (((1,), (0,)), ((), ())), precision=_HI)
+        return T_incl[-1:], acc
+
+    T, acc = jax.lax.fori_loop(
+        0, nchunks, body,
+        (jnp.ones((1, TILE_PIX), jnp.float32),
+         jnp.zeros((C, TILE_PIX), jnp.float32)))
+    img_ref[0] = jnp.concatenate(
+        [acc, T, jnp.zeros((1, TILE_PIX), jnp.float32)], axis=0)
+
+def main():
+    meta = np.load("/tmp/kinputs/meta.npy", allow_pickle=True).item()
+    grid_x, num_tiles = meta["grid_x"], meta["num_tiles"]
+    C, R, NCH = meta["C"], meta["R"], meta["NCH"]
+    attr = jnp.asarray(np.load("/tmp/kinputs/attr.npy"))
+    ranges = jnp.asarray(np.load("/tmp/kinputs/ranges.npy"))
+    packed = jnp.asarray(np.load("/tmp/kinputs/packed.npy"))
+    dpk = jnp.asarray(np.load("/tmp/kinputs/dpk.npy"))
+    static = (grid_x, num_tiles, C, R, NCH, False)
+
+    # --- forward ---
+    f_base = jax.jit(lambda a, r: cp._pallas_forward(static, a, r))
+    t0 = timeit(f_base, attr, ranges)
+    out0 = f_base(attr, ranges)
+    print(f"fwd baseline      {t0:8.2f} ms", flush=True)
+
+    f_A = jax.jit(lambda a, r: _pallas_fwd_variant(_fwd_kernel_A, static, a, r))
+    tA = timeit(f_A, attr, ranges)
+    outA = f_A(attr, ranges)
+    errA = float(jnp.max(jnp.abs(out0 - outA)))
+    print(f"fwd A (MXU power) {tA:8.2f} ms   maxdiff={errA:.2e}", flush=True)
+
+
+    f_S = jax.jit(lambda a, r: _pallas_fwd_variant(_fwd_kernel_S, static, a, r))
+    tS = timeit(f_S, attr, ranges)
+    print(f"fwd S (stripped)  {tS:8.2f} ms", flush=True)
+    f_N = jax.jit(lambda a, r: _pallas_fwd_variant(_fwd_kernel_NOEXP, static, a, r))
+    tN = timeit(f_N, attr, ranges)
+    print(f"fwd N (no exp)    {tN:8.2f} ms", flush=True)
+    # --- backward ---
+    counts = ranges[:, 1]
+    nch_full = (counts + CHUNK - 1) // CHUNK
+    nc_tile = jnp.max(packed[:, C + 1], axis=1).astype(jnp.int32)
+    nc_tile = jnp.pad(nc_tile, (0, ranges.shape[0] - num_tiles))
+    nbw = jnp.minimum((nc_tile + CHUNK - 1) // CHUNK, nch_full)
+    ranges_b = jnp.concatenate(
+        [ranges, nbw[:, None], jnp.zeros_like(nbw)[:, None]], axis=1)
+
+    b_base = jax.jit(lambda a, rb, pk, d: _pallas_bwd_variant(
+        cp._backward_kernel, static, a, rb, pk, d))
+    tb0 = timeit(b_base, attr, ranges_b, packed, dpk, n=5)
+    db0 = b_base(attr, ranges_b, packed, dpk)
+    print(f"bwd baseline      {tb0:8.2f} ms", flush=True)
+
+    b_B = jax.jit(lambda a, rb, pk, d: _pallas_bwd_variant(
+        _bwd_kernel_B, static, a, rb, pk, d))
+    tbB = timeit(b_B, attr, ranges_b, packed, dpk, n=5)
+    dbB = b_B(attr, ranges_b, packed, dpk)
+    # compare only written chunks: mimic scrub with finite mask
+    m0 = jnp.where(jnp.isfinite(db0), db0, 0.0)
+    mB = jnp.where(jnp.isfinite(dbB), dbB, 0.0)
+    # relative error on the large-magnitude entries
+    errB = float(jnp.max(jnp.abs(m0 - mB)) /
+                 (float(jnp.max(jnp.abs(m0))) + 1e-30))
+    print(f"bwd B (MXU moments) {tbB:6.2f} ms   relmaxdiff={errB:.2e}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
