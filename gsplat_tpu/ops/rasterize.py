@@ -115,7 +115,7 @@ def rasterize(
     overflow = bins.overflow
     if backend == "pallas":
         from gsplat_tpu.ops.composite_pallas import composite_pallas
-        img, T_final, overflow = composite_pallas(
+        chw, T_final, overflow = composite_pallas(
             pre.means2d, pre.conic, pre.opacity, feats, bins,
             config.width, config.height,
             interpret=jax.default_backend() != "tpu",
@@ -128,12 +128,13 @@ def rasterize(
             config.width, config.height,
             k_max=config.k_max, tile_batch=config.tile_batch,
         )
+        chw = jnp.moveaxis(img, -1, 0)
 
-    render = jnp.transpose(img[..., 0:3], (2, 0, 1)) + T_final[None] * bg[:, None, None]
+    render = chw[0:3] + T_final[None] * bg[:, None, None]
     out = {
         "render": render,
-        "depth": img[..., 3],
-        "alpha": img[..., 4 + config.num_class],
+        "depth": chw[3],
+        "alpha": chw[4 + config.num_class],
         "radii": pre.radii,
         "visibility": pre.visible,
         "overflow": overflow,
@@ -141,5 +142,5 @@ def rasterize(
         "T_final": T_final,
     }
     if config.num_class > 0:
-        out["segment"] = jnp.transpose(img[..., 4:4 + config.num_class], (2, 0, 1))
+        out["segment"] = chw[4:4 + config.num_class]
     return out

@@ -23,35 +23,47 @@ def l2_loss(x, y):
     return jnp.mean((x - y) ** 2)
 
 
-def _gaussian_window(window_size: int, sigma: float):
+def _gaussian_1d(window_size: int, sigma: float):
     xs = jnp.arange(window_size, dtype=jnp.float32) - window_size // 2
     g = jnp.exp(-(xs ** 2) / (2 * sigma ** 2))
-    g = g / jnp.sum(g)
-    return jnp.outer(g, g)  # [W,W]
+    return g / jnp.sum(g)
 
 
 @partial(jax.jit, static_argnames=("window_size",))
 def ssim(img1, img2, window_size: int = 11):
     """Windowed SSIM, 11x11 gaussian sigma=1.5 (loss_utils.py:110-150).
-    img: [C,H,W] in [0,1]."""
-    C = img1.shape[0]
-    w = _gaussian_window(window_size, 1.5)
-    kernel = jnp.tile(w[None, None], (C, 1, 1, 1))  # [C,1,W,W] grouped
+    img: [C,H,W] in [0,1].
+
+    The reference window is ``outer(g, g)`` of a 1D gaussian
+    (loss_utils.py:117-121), i.e. exactly separable — so the 2D convolution
+    runs as two 11-tap 1D passes of unrolled shift-multiply-adds.  A grouped
+    ``conv_general_dilated`` with the full 11x11 kernel lowers to brute-force
+    VPU loops on TPU (~21 ms per conv at 1080p — 8 of them dominated the
+    whole train step); this form is ~20x faster and bitwise the same math up
+    to summation order."""
+    g = _gaussian_1d(window_size, 1.5)
+    r = window_size // 2
 
     def conv(x):
-        return jax.lax.conv_general_dilated(
-            x[None], kernel, window_strides=(1, 1),
-            padding=[(window_size // 2,) * 2] * 2,
-            feature_group_count=C,
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            precision=jax.lax.Precision.HIGHEST,
-        )[0]
+        # x [N,H,W]; zero padding matches F.conv2d(padding=window//2)
+        N, H, W = x.shape
+        xp = jnp.pad(x, ((0, 0), (r, r), (0, 0)))
+        x = sum(g[i] * jax.lax.slice_in_dim(xp, i, i + H, axis=1)
+                for i in range(window_size))
+        xp = jnp.pad(x, ((0, 0), (0, 0), (r, r)))
+        return sum(g[i] * jax.lax.slice_in_dim(xp, i, i + W, axis=2)
+                   for i in range(window_size))
 
-    mu1, mu2 = conv(img1), conv(img2)
+    # one fused separable pass over all five conv inputs
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0)
+    out = conv(stacked)
+    C = img1.shape[0]
+    mu1, mu2 = out[0:C], out[C:2 * C]
     mu1_sq, mu2_sq, mu1_mu2 = mu1 ** 2, mu2 ** 2, mu1 * mu2
-    sigma1_sq = conv(img1 * img1) - mu1_sq
-    sigma2_sq = conv(img2 * img2) - mu2_sq
-    sigma12 = conv(img1 * img2) - mu1_mu2
+    sigma1_sq = out[2 * C:3 * C] - mu1_sq
+    sigma2_sq = out[3 * C:4 * C] - mu2_sq
+    sigma12 = out[4 * C:5 * C] - mu1_mu2
     C1, C2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2))
