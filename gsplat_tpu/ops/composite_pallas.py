@@ -444,7 +444,8 @@ _composite_core.defvjp(_composite_fwd, _composite_bwd)
 
 def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
                      height: int, interpret: bool = False,
-                     const_last_feat: bool = False):
+                     const_last_feat: bool = False,
+                     grad_precision: str = "f32"):
     """Tiled Pallas compositor:
     returns (img [C,H,W] pre-background, T_final [H,W], overflow []).
 
@@ -481,7 +482,7 @@ def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
     # Pad to R rows AFTER the gather: gather cost is per ROW (width-blind),
     # and the pad's VJP slices the dead columns off BEFORE gather_rows'
     # sort+segment-sum adjoint — 11-12 sort operands instead of 17.
-    attr = gather_rows(table, gid, interpret)                      # [I, 6+C?]
+    attr = gather_rows(table, gid, interpret, grad_precision)      # [I, 6+C?]
     if const_last_feat:
         ones = jnp.ones((attr.shape[0], 1), attr.dtype)
         attr = jnp.concatenate([attr, ones], axis=1)               # [I, 6+C]

@@ -132,23 +132,63 @@ def segment_sum_sorted(vals: jnp.ndarray, sids: jnp.ndarray,
     return out.swapaxes(1, 2).reshape(segs_padded, R)[:num_segments]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def gather_rows(table, idx, interpret: bool = False):
+def _pack_bf16_pairs(x):
+    """[I, R] f32 -> [I, ceil(R/2)] f32 carrying bf16 pairs bitwise.
+
+    Round-to-nearest-even bf16 per element; two 16-bit patterns per f32
+    lane.  Sort payload cost on TPU scales with operand COUNT, so halving
+    the columns cuts the gradient-reduce sort ~1.3 ms per dropped operand."""
+    I, R = x.shape
+    if R % 2:
+        x = jnp.pad(x, ((0, 0), (0, 1)))
+    b = x.astype(jnp.bfloat16)
+    u = jax.lax.bitcast_convert_type(b, jnp.uint16).astype(jnp.uint32)
+    hi, lo = u[:, 0::2], u[:, 1::2]
+    return jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32)
+
+
+def _unpack_bf16_pairs(p, R: int):
+    """Inverse of _pack_bf16_pairs: [I, ceil(R/2)] f32 -> [I, R] f32."""
+    u = jax.lax.bitcast_convert_type(p, jnp.uint32)
+    hi = (u >> 16).astype(jnp.uint16)
+    lo = (u & 0xFFFF).astype(jnp.uint16)
+    both = jnp.stack([hi, lo], axis=2).reshape(u.shape[0], -1)
+    return jax.lax.bitcast_convert_type(both, jnp.bfloat16).astype(
+        jnp.float32)[:, :R]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gather_rows(table, idx, interpret: bool = False,
+                grad_precision: str = "f32"):
     """``table[idx]`` with a sort+MXU-segment-sum adjoint instead of XLA's
-    serial scatter-add.  table: [P, R]; idx: [I] int32 in [0, P)."""
+    serial scatter-add.  table: [P, R]; idx: [I] int32 in [0, P).
+
+    ``grad_precision="bf16"`` rounds the PER-INSTANCE gradient rows to
+    bfloat16 and carries them as packed pairs through the adjoint's sort
+    (half the payload operands); the per-gaussian summation still runs in
+    f32 on the MXU.  ~0.2% relative error on per-instance terms before an
+    exact sum — the deliberate fast path for training (the CUDA reference
+    accumulates f32 atomics; use the default "f32" for bitwise-grade
+    gradient parity)."""
     return table[idx]
 
 
-def _gr_fwd(table, idx, interpret):
+def _gr_fwd(table, idx, interpret, grad_precision):
     return table[idx], (idx, table.shape[0])
 
 
-def _gr_bwd(interpret, res, d_out):
+def _gr_bwd(interpret, grad_precision, res, d_out):
     idx, P = res
     I, R = d_out.shape
-    ops = (idx,) + tuple(d_out[:, i] for i in range(R))
-    s = jax.lax.sort(ops, num_keys=1)
-    vals = jnp.stack(s[1:], axis=1)
+    if grad_precision == "bf16":
+        packed = _pack_bf16_pairs(d_out)
+        ops = (idx,) + tuple(packed[:, i] for i in range(packed.shape[1]))
+        s = jax.lax.sort(ops, num_keys=1)
+        vals = _unpack_bf16_pairs(jnp.stack(s[1:], axis=1), R)
+    else:
+        ops = (idx,) + tuple(d_out[:, i] for i in range(R))
+        s = jax.lax.sort(ops, num_keys=1)
+        vals = jnp.stack(s[1:], axis=1)
     d_table = segment_sum_sorted(vals, s[0], P, interpret=interpret)
     return d_table, np.zeros(np.shape(idx), dtype=jax.dtypes.float0)
 
