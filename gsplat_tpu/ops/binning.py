@@ -30,10 +30,13 @@ Behavioral spec: reference rasterizer_impl.cu:70-138,279-322 (duplicateWithKeys
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from gsplat_tpu.ops.preprocess import PreprocessOut
 
@@ -69,8 +72,121 @@ def _tile_histogram(pre: PreprocessOut, grid_x: int, grid_y: int):
     return counts.reshape(-1).astype(jnp.int32)      # [T]
 
 
+_EXP_CH = 1024   # instance positions per expansion-kernel program
+_EXP_W = 128     # sources per window pass
+
+
+def _expand_kernel(rw_bits: int, grid_x: int, num_tiles: int,
+                   ranges_ref, src_ref, out_ref, win, sems):
+    """Forward-fill expansion without scatters: for each of CH consecutive
+    instance positions, the owning source is the LAST source with
+    offset <= pos.  Window passes of 128 sources compute the per-lane
+    dominance count (compare + sublane tree-sum) and select the owner row
+    with a one-hot MXU matmul — exact in f32 (one nonzero term per output,
+    every value < 2^24)."""
+    c = pl.program_id(0)
+    w0blk = ranges_ref[c % 8, 0]     # first 128-aligned source window
+    npass = ranges_ref[c % 8, 1]
+
+    def dma(slot, p):
+        return pltpu.make_async_copy(src_ref.at[w0blk + p],
+                                     win.at[slot], sems.at[slot])
+
+    dma(0, 0).start()
+
+    pos = (c * _EXP_CH +
+           jax.lax.broadcasted_iota(jnp.int32, (1, _EXP_CH), 1)
+           ).astype(jnp.float32)
+    k_io = jax.lax.broadcasted_iota(
+        jnp.int32, (_EXP_W, 1), 0).astype(jnp.float32)
+
+    def body(p, acc):
+        slot = p % 2
+
+        @pl.when(p + 1 < npass)
+        def _():
+            dma((p + 1) % 2, p + 1).start()
+
+        dma(slot, p).wait()
+        off = win[slot, 0][:, None]                      # [W,1]
+        cmp = (off <= pos).astype(jnp.float32)           # [W,CH]
+        cnt = jnp.sum(cmp, axis=0, keepdims=True)        # [1,CH] exact <=128
+        onehot = (k_io == (cnt - 1.0)).astype(jnp.float32)
+        sel = jax.lax.dot_general(win[slot, 0:3], onehot,
+                                  (((1,), (0,)), ((), ())),
+                                  precision=jax.lax.Precision.HIGHEST)
+        return jnp.where(cnt > 0.0, sel, acc)
+
+    acc = jax.lax.fori_loop(0, npass, body,
+                            jnp.zeros((3, _EXP_CH), jnp.float32))
+
+    # decode (offs, meta, gid) -> (tile, gid); integer div for exactness
+    k = (pos - acc[0:1]).astype(jnp.int32)               # [1,CH]
+    meta = acc[1:2].astype(jnp.int32)
+    gid = acc[2:3].astype(jnp.int32)
+    colstep = meta & 1
+    rw = (meta >> 1) & ((1 << rw_bits) - 1)
+    base = meta >> (rw_bits + 1)
+    q = k // rw
+    tile = base + q * grid_x + (k - q * rw) * colstep
+    tile = jnp.minimum(tile, num_tiles)
+    out_ref[0] = jnp.concatenate(
+        [tile, gid, jnp.zeros((6, _EXP_CH), jnp.int32)], axis=0)
+
+
+def _expand_pallas(all_offsets, all_meta, all_gid, I: int, rw_bits: int,
+                   grid_x: int, num_tiles: int, interpret: bool):
+    """Pallas replacement for the scatter+cumsum forward-fill (three ~4.4 ms
+    XLA scatters + a 5 ms multi-column cumsum + decode at 2.5M instances
+    become one ~3 ms kernel + a small searchsorted)."""
+    S = all_offsets.shape[0]
+    Sp = ((S + _EXP_W - 1) // _EXP_W) * _EXP_W
+    src = jnp.stack([
+        jnp.pad(all_offsets.astype(jnp.float32), (0, Sp - S),
+                constant_values=1 << 25),
+        jnp.pad(all_meta.astype(jnp.float32), (0, Sp - S)),
+        jnp.pad(all_gid.astype(jnp.float32), (0, Sp - S)),
+    ])                                                   # [3, Sp]
+    src = jnp.pad(src, ((0, 5), (0, 0)))                 # [8, Sp]
+    src = src.reshape(8, Sp // _EXP_W, _EXP_W).swapaxes(0, 1)
+
+    assert I % _EXP_CH == 0
+    NP = I // _EXP_CH
+    qs = jnp.arange(NP + 1, dtype=jnp.int32) * _EXP_CH
+    s0 = jnp.clip(jnp.searchsorted(all_offsets, qs[:-1], side="right") - 1,
+                  0, S - 1).astype(jnp.int32)
+    s1 = jnp.searchsorted(all_offsets, qs[1:], side="left").astype(jnp.int32)
+    w0blk = s0 // _EXP_W
+    npass = (jnp.maximum(s1, s0 + 1) - w0blk * _EXP_W
+             + _EXP_W - 1) // _EXP_W
+    ranges = jnp.stack([w0blk, npass], axis=1)
+    pad_rows = (-NP) % 8
+    if pad_rows:
+        ranges = jnp.pad(ranges, ((0, pad_rows), (0, 0)))
+
+    kernel = functools.partial(_expand_kernel, rw_bits, grid_x, num_tiles)
+    out = pl.pallas_call(
+        kernel,
+        grid=(NP,),
+        in_specs=[
+            pl.BlockSpec((8, 2), lambda c: (c // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 8, _EXP_CH), lambda c: (c, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, _EXP_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((NP, 8, _EXP_CH), jnp.int32),
+        interpret=interpret,
+    )(ranges, src)
+    return out[:, 0].reshape(-1), out[:, 1].reshape(-1)
+
+
 def bin_gaussians(pre: PreprocessOut, grid_x: int, grid_y: int,
-                  max_instances: int, align: int = 128) -> BinningOut:
+                  max_instances: int, align: int = 128,
+                  expand_impl: str = "auto") -> BinningOut:
     P = pre.depths.shape[0]
     num_tiles = grid_x * grid_y
     I = max_instances
@@ -143,44 +259,51 @@ def bin_gaussians(pre: PreprocessOut, grid_x: int, grid_y: int,
     all_meta = jnp.concatenate([meta_real, meta_pad, meta_tail])
     all_gid = jnp.concatenate(
         [order, jnp.full((num_tiles + 1,), P, jnp.int32)])
-    # offsets_real <= num_rendered <= offsets_pad <= total_padded: the concat
-    # is genuinely sorted, which XLA's scatter exploits.
-    pos = jnp.minimum(all_offsets, I - 1)
+    if expand_impl == "auto":
+        expand_impl = ("pallas" if (exact_f32 and I % _EXP_CH == 0
+                                    and jax.default_backend() == "tpu")
+                       else "xla")
 
-    # TWO scatters instead of three: XLA TPU scatter cost is per ROW and
-    # collapses for multi-lane rows (a packed [n,3] int scatter measured 2.4x
-    # worse than 3 separate), but a complex64 scatter is ONE row op carrying
-    # TWO exact integer channels (meta 21 bits, gid <= 2^24 — both exact in
-    # f32, and so are their deltas and the cumsum partial sums, which never
-    # leave the original value range).
-    def deltas_of(vals):
-        return jnp.concatenate([vals[:1], vals[1:] - vals[:-1]])
+    if expand_impl == "pallas":
+        assert exact_f32, "pallas expansion needs f32-exact packed values"
+        tile, gid = _expand_pallas(
+            all_offsets, all_meta, all_gid, I, rw_bits, grid_x, num_tiles,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        # offsets_real <= num_rendered <= offsets_pad <= total_padded: the
+        # concat is genuinely sorted, which XLA's scatter exploits.
+        pos = jnp.minimum(all_offsets, I - 1)
 
-    dt = jnp.float32 if exact_f32 else jnp.int32
+        def deltas_of(vals):
+            return jnp.concatenate([vals[:1], vals[1:] - vals[:-1]])
 
-    def seed_col(vals):
-        # deltas scattered as f32 when exact: every delta and every cumsum
-        # partial sum telescopes back to an original value < 2^24, so f32
-        # adds are EXACT — and f32 scans run ~1.6x faster than i32
-        return jnp.zeros((I,), dt).at[pos].add(
-            deltas_of(vals).astype(dt), mode="drop", indices_are_sorted=True)
+        dt = jnp.float32 if exact_f32 else jnp.int32
 
-    # Three separate 1-column scatters (measured alternatives, all WORSE on
-    # TPU: one [n,3]-row packed scatter 2.4x slower — multi-lane scatter rows
-    # collapse XLA's per-row throughput; complex64 ~5x slower), but ONE
-    # BATCHED [I,3] axis-0 cumsum: a 3-lane scan costs the same as a
-    # 1-column scan (4.5 vs 3x5.2 ms at 2.5M).
-    seeds = jnp.stack(
-        [seed_col(all_offsets), seed_col(all_meta), seed_col(all_gid)], axis=1)
-    filled = jnp.cumsum(seeds, axis=0).astype(jnp.int32)
-    offs, meta, gid = filled[:, 0], filled[:, 1], filled[:, 2]
+        def seed_col(vals):
+            # deltas scattered as f32 when exact: every delta and every
+            # cumsum partial sum telescopes back to an original value < 2^24,
+            # so f32 adds are EXACT — and f32 scans run ~1.6x faster than i32
+            return jnp.zeros((I,), dt).at[pos].add(
+                deltas_of(vals).astype(dt), mode="drop",
+                indices_are_sorted=True)
 
-    k = jnp.arange(I, dtype=jnp.int32) - offs
-    colstep = meta & 1
-    rw = (meta >> 1) & ((1 << rw_bits) - 1)
-    base = meta >> (rw_bits + 1)
-    tile = base + (k // rw) * grid_x + (k % rw) * colstep
-    tile = jnp.minimum(tile, num_tiles).astype(jnp.int32)
+        # Three separate 1-column scatters (measured alternatives, all WORSE
+        # on TPU: one [n,3]-row packed scatter 2.4x slower — multi-lane
+        # scatter rows collapse XLA's per-row throughput; complex64 ~5x
+        # slower), but ONE BATCHED [I,3] axis-0 cumsum: a 3-lane scan costs
+        # the same as a 1-column scan (4.5 vs 3x5.2 ms at 2.5M).
+        seeds = jnp.stack(
+            [seed_col(all_offsets), seed_col(all_meta), seed_col(all_gid)],
+            axis=1)
+        filled = jnp.cumsum(seeds, axis=0).astype(jnp.int32)
+        offs, meta, gid = filled[:, 0], filled[:, 1], filled[:, 2]
+
+        k = jnp.arange(I, dtype=jnp.int32) - offs
+        colstep = meta & 1
+        rw = (meta >> 1) & ((1 << rw_bits) - 1)
+        base = meta >> (rw_bits + 1)
+        tile = base + (k // rw) * grid_x + (k % rw) * colstep
+        tile = jnp.minimum(tile, num_tiles).astype(jnp.int32)
 
     # Instances are already in depth order (depth-major expansion) and pads
     # already follow every real instance (offsets_pad >= num_rendered), so a

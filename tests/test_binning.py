@@ -100,3 +100,29 @@ def test_overflow_detection():
     pre, gx, gy = _make(rng)
     bins = bin_lib.bin_gaussians(pre, gx, gy, 256, align=128)
     assert bool(bins.overflow)
+
+
+def test_pallas_expansion_matches_xla():
+    """The Pallas windowed dominance-count expansion must reproduce the XLA
+    scatter+cumsum forward-fill bit-for-bit (interpret mode on CPU)."""
+    for seed in (0, 3):
+        rng = np.random.default_rng(seed)
+        pre, gx, gy = _make(rng)
+        a = bin_lib.bin_gaussians(pre, gx, gy, 1 << 14, align=128,
+                                  expand_impl="xla")
+        b = bin_lib.bin_gaussians(pre, gx, gy, 1 << 14, align=128,
+                                  expand_impl="pallas")
+        np.testing.assert_array_equal(np.asarray(a.tile_id),
+                                      np.asarray(b.tile_id))
+        np.testing.assert_array_equal(np.asarray(a.gauss_id),
+                                      np.asarray(b.gauss_id))
+        np.testing.assert_array_equal(np.asarray(a.tile_start),
+                                      np.asarray(b.tile_start))
+
+
+def test_pallas_expansion_overflow_flag():
+    rng = np.random.default_rng(2)
+    pre, gx, gy = _make(rng)
+    bins = bin_lib.bin_gaussians(pre, gx, gy, 1024, align=128,
+                                 expand_impl="pallas")
+    assert bool(bins.overflow)
