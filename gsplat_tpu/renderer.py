@@ -12,12 +12,49 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from gsplat_tpu.core import transforms as T
 from gsplat_tpu.models.gaussians import GaussianModel
 from gsplat_tpu.ops.rasterize import RasterizeConfig, rasterize
+
+
+# (P, W, H) -> largest instance capacity measured this session.  Binning,
+# gather and sort all scale with the fixed capacity, so the static P*8
+# guess costs ~15% of a frame; instead measure the actual instance demand
+# (preprocess is ~0.5 ms) and bucket the capacity so recompiles stay rare.
+_capacity_cache: dict = {}
+
+
+def _auto_capacity(cam, pc, W: int, H: int, scaling_modifier: float) -> int:
+    from gsplat_tpu.ops import preprocess as pre_lib
+    key = (pc.params.xyz.shape[0], W, H)
+
+    @jax.jit
+    def count(xyz, scaling, rotation, opacity, viewmatrix, projmatrix,
+              campos, tan_fovx, tan_fovy):
+        pre = pre_lib.preprocess(
+            xyz, T.scaling_activation(scaling), rotation,
+            T.opacity_activation(opacity[:, 0]), None, 0,
+            viewmatrix, projmatrix, campos, tan_fovx, tan_fovy, W, H,
+            scale_modifier=scaling_modifier,
+            colors_precomp=jnp.zeros((xyz.shape[0], 3)))
+        return jnp.sum(pre.tiles_touched)
+
+    nr = int(count(pc.params.xyz, pc.params.scaling, pc.params.rotation,
+                   pc.params.opacity,
+                   jnp.asarray(cam.world_view_transform),
+                   jnp.asarray(cam.full_proj_transform),
+                   jnp.asarray(cam.camera_center),
+                   jnp.float32(cam.tan_fovx), jnp.float32(cam.tan_fovy)))
+    pads = 64 * ((W + 15) // 16) * ((H + 15) // 16)
+    blk = 1 << 17
+    need = max(1 << 18, (int(nr * 1.35) + pads + blk - 1) // blk * blk)
+    cap = max(_capacity_cache.get(key, 0), need)
+    _capacity_cache[key] = cap
+    return cap
 
 
 def render(
@@ -38,7 +75,8 @@ def render(
     H = int(viewpoint_camera.image_height)
     P = pc.params.xyz.shape[0]
     if max_instances <= 0:
-        max_instances = max(1 << 18, int(2 ** np.ceil(np.log2(P * 8))))
+        max_instances = _auto_capacity(viewpoint_camera, pc, W, H,
+                                       scaling_modifier)
 
     cfg = RasterizeConfig(
         width=W, height=H, sh_degree=(pc.active_sh_degree

@@ -208,7 +208,9 @@ class Trainer:
         cams = scene.getTrainCameras()
         W, H = cams[0].image_width, cams[0].image_height
         P = model.capacity
+        self._auto_capacity = max_instances <= 0
         if max_instances <= 0:
+            # provisional until _autosize_capacity measures the real scene
             max_instances = max(1 << 18, int(2 ** np.ceil(np.log2(max(P, 2) * 8))))
         self.max_instances = max_instances
         self.bg = jnp.zeros(3) if bg is None else jnp.asarray(bg)
@@ -231,6 +233,38 @@ class Trainer:
                 self.depth_loss_choice, self.use_seg, self.bg)
         return self._steps[k]
 
+    def _autosize_capacity(self, cams):
+        """Measure the scene's real instance demand on a few cameras and
+        size the fixed binning capacity snugly (1.35x + per-tile alignment
+        pads) instead of the static P*8 guess — every binning/gather/sort
+        cost scales with capacity, so a 2x over-provision is ~15% of a
+        whole train step.  Rounded to 128k blocks to limit recompiles."""
+        from gsplat_tpu.ops import preprocess as pre_lib
+        cfg = self._cfg(self.model.max_sh_degree)
+
+        @jax.jit
+        def count(params, batch):
+            pre = pre_lib.preprocess(
+                params.xyz, T.scaling_activation(params.scaling),
+                params.rotation,
+                T.opacity_activation(params.opacity[:, 0]),
+                jnp.concatenate([params.features_dc, params.features_rest],
+                                axis=1),
+                self.model.max_sh_degree, batch["viewmatrix"],
+                batch["projmatrix"], batch["campos"], batch["tan_fovx"],
+                batch["tan_fovy"], cfg.width, cfg.height)
+            return jnp.sum(pre.tiles_touched)
+
+        nr = max(int(count(self.model.params, camera_batch(c)))
+                 for c in cams[: min(4, len(cams))])
+        pads = cfg.grid_x * cfg.grid_y * 64  # expected pad-inline overhead
+        self._resize_capacity(int(nr * 1.35) + pads)
+
+    def _resize_capacity(self, needed: int):
+        blk = 1 << 17
+        self.max_instances = max(1 << 18, (needed + blk - 1) // blk * blk)
+        self._steps.clear()
+
     def train(self, iterations=None, *, test_iterations=(), save_iterations=(),
               checkpoint_iterations=(), log_every=10, callback=None,
               first_iter=0, profile_dir=None, profile_iters=(50, 80)):
@@ -241,6 +275,11 @@ class Trainer:
         iterations = iterations or opt.iterations
         m = self.model
         cams = list(self.scene.getTrainCameras())
+        if self._auto_capacity:
+            self._autosize_capacity(cams)
+            self._auto_capacity = False
+            print(f"[capacity] instance capacity sized to "
+                  f"{self.max_instances} from measured scene demand")
         stack = []
         rng = np.random.default_rng(0)
 
@@ -285,6 +324,19 @@ class Trainer:
             if it % log_every == 0 or it == iterations:
                 loss = float(metrics["loss"])
                 self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+                # densification grows instance demand; regrow the fixed
+                # capacity (recompile) BEFORE overflow corrupts a step —
+                # and recover immediately if one did overflow
+                nr = int(metrics["num_rendered"])
+                pads = 64 * self._cfg(0).grid_x * self._cfg(0).grid_y
+                if bool(metrics["overflow"]) or (
+                        nr + pads > 0.9 * self.max_instances):
+                    if bool(metrics["overflow"]):
+                        print(f"[it {it}] WARNING: instance capacity "
+                              f"overflow ({nr} rendered) — regrowing")
+                    self._resize_capacity(int(nr * 1.4) + pads)
+                    print(f"[it {it}] instance capacity -> "
+                          f"{self.max_instances}")
                 if callback:
                     callback(it, metrics, self)
 
@@ -318,19 +370,30 @@ class Trainer:
         return time.time() - t_start
 
     def report_test(self, it):
+        """Periodic eval over the test split AND a 5-camera train sample,
+        mirroring the reference's training_report (train.py:227-253: it
+        always evaluates idx*5%len train cameras even without --eval)."""
         from gsplat_tpu.renderer import render as render_fn
-        test_cams = self.scene.getTestCameras()
-        if not test_cams:
-            return
-        l1s, psnrs = [], []
-        for cam in test_cams[: min(8, len(test_cams))]:
-            out = render_fn(cam, self.model, bg_color=self.bg,
-                            backend=self.backend,
-                            max_instances=self.max_instances)
-            img = jnp.clip(out["render"], 0, 1)
-            gt = jnp.asarray(cam.image)
-            l1s.append(float(L.l1_loss(img, gt)))
-            psnrs.append(float(L.psnr(img, gt)))
-        print(f"\n[ITER {it}] Evaluating test: L1 {np.mean(l1s):.4f} "
-              f"PSNR {np.mean(psnrs):.2f}")
-        return float(np.mean(psnrs))
+        train_cams = self.scene.getTrainCameras()
+        configs = [("test", self.scene.getTestCameras()[:8]),
+                   ("train", [train_cams[idx % len(train_cams)]
+                              for idx in range(5, 30, 5)] if train_cams
+                    else [])]
+        result = None
+        for name, cams in configs:
+            if not cams:
+                continue
+            l1s, psnrs = [], []
+            for cam in cams:
+                out = render_fn(cam, self.model, bg_color=self.bg,
+                                backend=self.backend,
+                                max_instances=self.max_instances)
+                img = jnp.clip(out["render"], 0, 1)
+                gt = jnp.asarray(cam.image)
+                l1s.append(float(L.l1_loss(img, gt)))
+                psnrs.append(float(L.psnr(img, gt)))
+            print(f"\n[ITER {it}] Evaluating {name}: L1 {np.mean(l1s):.4f} "
+                  f"PSNR {np.mean(psnrs):.2f}")
+            if result is None:
+                result = float(np.mean(psnrs))
+        return result

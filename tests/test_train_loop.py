@@ -114,3 +114,35 @@ def test_train_cli(synth_scene, tmp_path):
     log = [json.loads(l) for l in
            open(os.path.join(model_dir, "train_log.jsonl"))]
     assert log and log[-1]["iter"] == 40
+
+
+def test_capacity_autosize_and_regrow(synth_scene, tmp_path):
+    """max_instances=0 -> measured auto-sizing; an undersized capacity must
+    overflow-warn and regrow (recompile) instead of silently corrupting."""
+    from gsplat_tpu.config import OptimizationParams
+    from gsplat_tpu.data.scene import Scene
+    from gsplat_tpu.models.gaussians import GaussianModel
+    from gsplat_tpu.train.trainer import Trainer
+
+    m = GaussianModel(3, num_class=3, capacity=1024)
+    args = _make_args(synth_scene, str(tmp_path / "model"))
+    scene = Scene(args, m, shuffle=False)
+    m.training_setup()
+    opt = OptimizationParams()
+    opt.densify_from_iter = 10_000  # no densify in this short run
+
+    tr = Trainer(m, scene, opt, backend="jnp", model_path=str(tmp_path / "m1"))
+    assert tr._auto_capacity
+    tr.train(iterations=4, log_every=2)
+    # measured sizing must beat the static P*8 power-of-two guess
+    assert tr.max_instances == 1 << 18  # floor for this tiny scene
+
+    # undersized explicit capacity: first step overflows, trainer regrows
+    m2 = GaussianModel(3, num_class=3, capacity=1024)
+    scene2 = Scene(_make_args(synth_scene, str(tmp_path / "model2")), m2,
+                   shuffle=False)
+    m2.training_setup()
+    tr2 = Trainer(m2, scene2, opt, backend="jnp", max_instances=256,
+                  model_path=str(tmp_path / "m2"))
+    tr2.train(iterations=4, log_every=1)
+    assert tr2.max_instances > 256
