@@ -43,11 +43,13 @@ def build_scene(n_gauss: int, width: int, height: int, seed: int = 0):
 
 
 def main():
+    import os
+
     from gsplat_tpu.ops.rasterize import RasterizeConfig, rasterize
     from gsplat_tpu.ops import preprocess as pre_lib
 
     W, H = 1920, 1080
-    N = 500_000
+    N = int(os.environ.get("BENCH_N_GAUSS", 500_000))
     cam, g = build_scene(N, W, H)
     bg = jnp.zeros(3)
     cam_kw = dict(
