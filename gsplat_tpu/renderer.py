@@ -10,6 +10,7 @@ appearance-embedding color correction (:377-381).
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -28,31 +29,42 @@ from gsplat_tpu.ops.rasterize import RasterizeConfig, rasterize
 _capacity_cache: dict = {}
 
 
-def _auto_capacity(cam, pc, W: int, H: int, scaling_modifier: float) -> int:
+@functools.partial(jax.jit, static_argnames=("W", "H"))
+def _count_instances(xyz, scaling, rotation, opacity, viewmatrix,
+                     projmatrix, campos, tan_fovx, tan_fovy,
+                     scale_modifier, W: int, H: int):
     from gsplat_tpu.ops import preprocess as pre_lib
+    pre = pre_lib.preprocess(
+        xyz, T.scaling_activation(scaling), rotation,
+        T.opacity_activation(opacity[:, 0]), None, 0,
+        viewmatrix, projmatrix, campos, tan_fovx, tan_fovy, W, H,
+        scale_modifier=scale_modifier,
+        colors_precomp=jnp.zeros((xyz.shape[0], 3)))
+    return jnp.sum(pre.tiles_touched)
+
+
+def _auto_capacity(cam, pc, W: int, H: int, scaling_modifier: float) -> int:
+    # Measure instance demand once per (P, W, H); later frames of the same
+    # shape reuse the cached capacity (one readback per key, no per-frame
+    # device sync, and _count_instances is a module-level jit so there is
+    # exactly one compile per shape).
     key = (pc.params.xyz.shape[0], W, H)
-
-    @jax.jit
-    def count(xyz, scaling, rotation, opacity, viewmatrix, projmatrix,
-              campos, tan_fovx, tan_fovy):
-        pre = pre_lib.preprocess(
-            xyz, T.scaling_activation(scaling), rotation,
-            T.opacity_activation(opacity[:, 0]), None, 0,
-            viewmatrix, projmatrix, campos, tan_fovx, tan_fovy, W, H,
-            scale_modifier=scaling_modifier,
-            colors_precomp=jnp.zeros((xyz.shape[0], 3)))
-        return jnp.sum(pre.tiles_touched)
-
-    nr = int(count(pc.params.xyz, pc.params.scaling, pc.params.rotation,
-                   pc.params.opacity,
-                   jnp.asarray(cam.world_view_transform),
-                   jnp.asarray(cam.full_proj_transform),
-                   jnp.asarray(cam.camera_center),
-                   jnp.float32(cam.tan_fovx), jnp.float32(cam.tan_fovy)))
+    if key in _capacity_cache:
+        return _capacity_cache[key]
+    nr = int(_count_instances(
+        pc.params.xyz, pc.params.scaling, pc.params.rotation,
+        pc.params.opacity,
+        jnp.asarray(cam.world_view_transform),
+        jnp.asarray(cam.full_proj_transform),
+        jnp.asarray(cam.camera_center),
+        jnp.float32(cam.tan_fovx), jnp.float32(cam.tan_fovy),
+        jnp.float32(scaling_modifier), W, H))
     pads = 64 * ((W + 15) // 16) * ((H + 15) // 16)
     blk = 1 << 17
-    need = max(1 << 18, (int(nr * 1.35) + pads + blk - 1) // blk * blk)
-    cap = max(_capacity_cache.get(key, 0), need)
+    # 1.6x headroom: later frames of the same scene skip re-measurement,
+    # so leave margin for view-dependent variation (overflow flag remains
+    # the correctness guard for pathological cases)
+    cap = max(1 << 18, (int(nr * 1.6) + pads + blk - 1) // blk * blk)
     _capacity_cache[key] = cap
     return cap
 

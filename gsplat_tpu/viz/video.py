@@ -1,8 +1,8 @@
 """Video compositing — reference composite_video.py:35-78 equivalent.
 
-The reference uses OpenCV's mp4 writer; this environment has no cv2, so we
-shell out to ffmpeg when present and otherwise leave the numbered PNG frames
-(which every downstream tool accepts) with a note.
+Primary path is OpenCV's mp4 writer like the reference (save_vidio_no_depth,
+composite_video.py:53-65); falls back to ffmpeg, then to leaving the
+numbered PNG frames (which every downstream tool accepts) with a note.
 """
 from __future__ import annotations
 
@@ -32,9 +32,23 @@ def save_frames(frames: List[np.ndarray], out_dir: str) -> List[str]:
 
 
 def save_video(frames: List[np.ndarray], out_path: str, fps: int = 30) -> str:
-    """Write an mp4 (via ffmpeg) or fall back to a PNG sequence directory."""
+    """Write an mp4 (cv2, then ffmpeg) or fall back to a PNG sequence dir."""
     frame_dir = os.path.splitext(out_path)[0] + "_frames"
-    save_frames(frames, frame_dir)
+    paths = save_frames(frames, frame_dir)
+    try:
+        import cv2
+        first = cv2.imread(paths[0])
+        h, w = first.shape[:2]
+        vw = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+        if vw.isOpened():
+            for p in paths:
+                vw.write(cv2.imread(p))
+            vw.release()
+            if os.path.getsize(out_path) > 0:
+                return out_path
+    except Exception as e:  # pragma: no cover - codec availability varies
+        print(f"[video] cv2 writer unavailable ({e}); trying ffmpeg")
     ffmpeg = shutil.which("ffmpeg")
     if ffmpeg:
         subprocess.run(
@@ -43,5 +57,5 @@ def save_video(frames: List[np.ndarray], out_path: str, fps: int = 30) -> str:
              "-pix_fmt", "yuv420p", out_path],
             check=True)
         return out_path
-    print(f"[video] ffmpeg not found; frames left in {frame_dir}")
+    print(f"[video] no cv2/ffmpeg encoder; frames left in {frame_dir}")
     return frame_dir
