@@ -409,6 +409,78 @@ def _fwd_kernel_NOEXP(grid_x: int, C: int, R: int,
     img_ref[0] = jnp.concatenate(
         [acc, T, jnp.zeros((1, TILE_PIX), jnp.float32)], axis=0)
 
+
+
+# ---------------- fwd R: trimmed bookkeeping, same semantics ---------------
+
+def _fwd_kernel_R(grid_x: int, C: int, R: int,
+                  ranges_ref, attr_ref, img_ref, buf, sems):
+    t = pl.program_id(0)
+    chunk0 = ranges_ref[t % 8, 0]
+    count = ranges_ref[t % 8, 1]
+    nchunks = (count + CHUNK - 1) // CHUNK
+    px, py = cp._pixel_coords(t, grid_x)
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(attr_ref.at[chunk0 + c],
+                                     buf.at[slot], sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(c, carry):
+        T, nc, acc = carry
+        slot = c % 2
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            dma((c + 1) % 2, c + 1).start()
+
+        dma(slot, c).wait()
+
+        def compute(carry):
+            T, nc, acc = carry
+            k_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+            pos = c * CHUNK + k_idx
+            valid = pos < count
+            a, mask, _ = cp._chunk_alpha(buf[slot], px, py, valid)
+            # done-state is implicit: T < T_EPS never happens for kept T
+            # (T_new = frozen >= eps or the untouched entry T), so the
+            # per-chunk "pixel already terminated" mask is (T >= eps)...
+            # NOT true: T stays frozen >= eps after termination. Keep the
+            # explicit encoding: freeze T NEGATIVE as the done marker and
+            # use |T| for value.
+            done = T < 0.0
+            Tv = jnp.abs(T)
+            a = jnp.where(mask & ~done, a, 0.0)
+            T_incl = Tv * cp._cumprod0(1.0 - a)
+            ok = T_incl >= T_EPS
+            contrib = mask & ~done & ok
+            T_excl = jnp.concatenate([Tv, T_incl[:-1]], axis=0)
+            w = jnp.where(contrib, a * T_excl, 0.0)
+            # last kept T (or entry T if none kept); non-increasing => min
+            T_frozen = jnp.min(jnp.where(ok, T_incl, Tv), axis=0,
+                               keepdims=True)
+            terminated = done | (T_incl[-1:] < T_EPS)
+            T_new = jnp.where(terminated, -T_frozen, T_frozen)
+            acc = acc + jax.lax.dot_general(
+                buf[slot, ATTR_BASE:ATTR_BASE + C], w,
+                (((1,), (0,)), ((), ())), precision=_HI)
+            nc = jnp.maximum(nc, jnp.max(
+                jnp.where(contrib, pos + 1, 0), axis=0, keepdims=True))
+            return T_new, nc, acc
+
+        return jax.lax.cond(jnp.max(T) > 0.0, compute,
+                            lambda carry: carry, carry)
+
+    T, nc, acc = jax.lax.fori_loop(
+        0, nchunks, body,
+        (jnp.ones((1, TILE_PIX), jnp.float32),
+         jnp.zeros((1, TILE_PIX), jnp.int32),
+         jnp.zeros((C, TILE_PIX), jnp.float32)))
+    img_ref[0] = jnp.concatenate([jnp.abs(T), nc.astype(jnp.float32)], axis=0) if False else jnp.concatenate([acc, jnp.abs(T), nc.astype(jnp.float32)], axis=0)
+
 def main():
     meta = np.load("/tmp/kinputs/meta.npy", allow_pickle=True).item()
     grid_x, num_tiles = meta["grid_x"], meta["num_tiles"]
@@ -432,6 +504,12 @@ def main():
     print(f"fwd A (MXU power) {tA:8.2f} ms   maxdiff={errA:.2e}", flush=True)
 
 
+
+    f_R = jax.jit(lambda a, r: _pallas_fwd_variant(_fwd_kernel_R, static, a, r))
+    tR = timeit(f_R, attr, ranges)
+    outR = f_R(attr, ranges)
+    errR = float(jnp.max(jnp.abs(out0 - outR)))
+    print(f"fwd R (trim bookkeep) {tR:6.2f} ms   maxdiff={errR:.2e}", flush=True)
     f_S = jax.jit(lambda a, r: _pallas_fwd_variant(_fwd_kernel_S, static, a, r))
     tS = timeit(f_S, attr, ranges)
     print(f"fwd S (stripped)  {tS:8.2f} ms", flush=True)
