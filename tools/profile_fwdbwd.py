@@ -29,7 +29,7 @@ def main():
     )
     tgt = jnp.zeros((3, H, W))
     cfg = RasterizeConfig(width=W, height=H, max_instances=2490368,
-                          backend="pallas")
+                          backend="pallas", grad_precision="bf16")
 
     @jax.jit
     def fwdbwd(g):
