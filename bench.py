@@ -77,8 +77,9 @@ def main():
     # grad_precision="bf16" is the Trainer's default training configuration
     # (per-instance grad rows rounded to bf16 before the exact f32
     # per-gaussian sum); the benchmark measures the training path.
+    cull = os.environ.get("BENCH_CULL", "none")
     cfg = RasterizeConfig(width=W, height=H, max_instances=max_inst,
-                          backend="auto", grad_precision="bf16")
+                          backend="auto", grad_precision="bf16", cull=cull)
 
     @jax.jit
     def fwd(g):

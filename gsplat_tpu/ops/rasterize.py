@@ -41,6 +41,11 @@ class RasterizeConfig:
     grad_precision: str = "f32"     # "f32" exact | "bf16" packed-pair grad
                                     # reduce (training fast path, ~0.2% per-
                                     # instance rounding before an exact sum)
+    cull: str = "none"              # "exact" drops provably-invisible
+                                    # (gaussian, tile) instances (bit-equal
+                                    # images, ~17-40% fewer instances)
+    max_rows: int = 0               # row-source capacity for cull="exact"
+                                    # (0 = max_instances // 2)
 
     @property
     def grid_x(self):
@@ -102,6 +107,7 @@ def rasterize(
     bins = binning_lib.bin_gaussians(
         pre_sg, config.grid_x, config.grid_y, config.max_instances,
         align=128 if backend == "pallas" else 1,
+        cull=config.cull, max_rows=config.max_rows,
     )
 
     # Pack channels: rgb(3) + depth(1) [+ segment(S)] + weight(1).  The

