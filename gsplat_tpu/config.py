@@ -117,6 +117,8 @@ class PerformanceParams(ParamGroup):
         self.backend = "auto"        # auto | jnp | pallas
         self.data_parallel = 1       # cameras per step = device count
         self.profile_dir = ""        # jax.profiler trace output dir
+        self.grad_precision = "bf16"  # bf16 | f32 per-instance grad rows
+        self.cull = "none"           # none | exact ellipse-tile culling
         super().__init__(parser, "Performance Parameters")
 
 

@@ -119,7 +119,9 @@ def main(argv=None):
         depth_loss_choice=args.depth_loss_choice if dataset.using_depth else None,
         use_seg=dataset.using_seg, backend=args.backend,
         max_instances=args.max_instances, model_path=args.model_path,
-        gui_source_path=gui_source)
+        gui_source_path=gui_source,
+        grad_precision=getattr(args, "grad_precision", "bf16"),
+        cull=getattr(args, "cull", "none"))
 
     metrics_log = open(os.path.join(args.model_path, "train_log.jsonl"), "a")
 

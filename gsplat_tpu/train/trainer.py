@@ -193,11 +193,14 @@ class Trainer:
     def __init__(self, model: GaussianModel, scene, opt, *, bg=None,
                  depth_loss_choice=None, use_seg=False, backend="auto",
                  max_instances=0, seed=0, model_path=None,
-                 gui_source_path=None, grad_precision="bf16"):
+                 gui_source_path=None, grad_precision="bf16", cull="none"):
         # grad_precision: per-instance gradient rows rounded to bf16 before
         # the exact f32 per-gaussian sum (halves the reduce-sort payload,
         # ~0.2% relative rounding on individual terms — the training
-        # default; pass "f32" for bitwise-grade gradient parity runs)
+        # default; pass "f32" for bitwise-grade gradient parity runs).
+        # cull="exact": drop provably-invisible (gaussian, tile) instances
+        # (bit-equal images; pays off on trained anisotropic scenes — the
+        # capacity shrink logic below sizes to the CULLED count).
         self.model = model
         self.scene = scene
         self.opt = opt
@@ -221,7 +224,7 @@ class Trainer:
             width=W, height=H, sh_degree=sh,
             num_class=model.num_class if use_seg else 0,
             max_instances=self.max_instances, backend=backend,
-            grad_precision=grad_precision)
+            grad_precision=grad_precision, cull=cull)
         self.ema_loss = 0.0
         self.gui_source_path = gui_source_path  # enables SIBR socket polling
 
@@ -336,6 +339,15 @@ class Trainer:
                               f"overflow ({nr} rendered) — regrowing")
                     self._resize_capacity(int(nr * 1.4) + pads)
                     print(f"[it {it}] instance capacity -> "
+                          f"{self.max_instances}")
+                elif nr + pads < 0.5 * self.max_instances and \
+                        self.max_instances > (1 << 18):
+                    # shrink toward ~60% utilization (wide hysteresis vs the
+                    # 90% grow trigger so per-camera variation can't thrash)
+                    # — matters when cull='exact' renders far fewer
+                    # instances than the rect-based initial sizing
+                    self._resize_capacity(int(nr * 1.6) + pads)
+                    print(f"[it {it}] instance capacity shrunk -> "
                           f"{self.max_instances}")
                 if callback:
                     callback(it, metrics, self)
