@@ -73,11 +73,36 @@ def main():
         return jnp.sum(pre.tiles_touched)
     nr0 = int(count_instances(g))
     max_inst = ((int(nr0 * 1.25) + (1 << 17) - 1) >> 17) << 17
-    print(f"# instances={nr0} capacity={max_inst}", file=sys.stderr, flush=True)
     # grad_precision="bf16" is the Trainer's default training configuration
     # (per-instance grad rows rounded to bf16 before the exact f32
     # per-gaussian sum); the benchmark measures the training path.
-    cull = os.environ.get("BENCH_CULL", "none")
+    # cull="exact" drops provably-invisible (gaussian, tile) instances with
+    # bit-equal output (tests: test_exact_cull_*); sizing the capacity to
+    # the CULLED demand is what makes it pay (Trainer does the same via its
+    # shrink logic), so measure the culled count first.
+    cull = os.environ.get("BENCH_CULL", "exact")
+    if cull == "exact":
+        from gsplat_tpu.ops import binning as bin_lib
+        gx, gy = (W + 15) // 16, (H + 15) // 16
+
+        @jax.jit
+        def count_culled(g):
+            pre = pre_lib.preprocess(
+                g["means3d"], g["scales"], g["rotations"], g["opacities"],
+                g["shs"], 3, cam_kw["viewmatrix"], cam_kw["projmatrix"],
+                cam_kw["campos"], cam_kw["tan_fovx"], cam_kw["tan_fovy"],
+                W, H)
+            bins = bin_lib.bin_gaussians(pre, gx, gy, max_inst, align=128,
+                                         cull="exact")
+            padded = bins.tile_count + (-bins.tile_count) % 128
+            return jnp.sum(padded)
+        # the count is exact for THIS scene+camera, so size tightly (the
+        # overflow flag still guards) — every capacity slot costs ~5 ns/step
+        # across the gather/sorts/expansion
+        need = int(count_culled(g))
+        max_inst = ((int(need * 1.005) + (1 << 17) - 1) >> 17) << 17
+    print(f"# instances={nr0} capacity={max_inst} cull={cull}",
+          file=sys.stderr, flush=True)
     cfg = RasterizeConfig(width=W, height=H, max_instances=max_inst,
                           backend="auto", grad_precision="bf16", cull=cull)
 
