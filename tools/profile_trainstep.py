@@ -45,8 +45,9 @@ def main():
     aux = empty_aux(N)._replace(alive=jnp.ones((N,), bool))
     opt_state = adam.init(params)
     opt = OptimizationParams()
-    cfg = RasterizeConfig(width=W, height=H, max_instances=2490368,
-                          backend="pallas")
+    cfg = RasterizeConfig(width=W, height=H, max_instances=2097152,
+                          backend="pallas", grad_precision="bf16",
+                          cull="exact")
     bg = jnp.zeros(3)
     step = tr_lib.make_train_step(cfg, opt, 3, None, False, bg)
     batch = tr_lib.camera_batch(cam)
