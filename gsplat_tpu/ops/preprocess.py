@@ -132,10 +132,23 @@ def preprocess(
     colors_precomp: Optional[jnp.ndarray] = None,  # [P,3]
     clamp_tan_fovx=None,
     clamp_tan_fovy=None,
+    full_width: Optional[int] = None,
+    full_height: Optional[int] = None,
+    pixel_offset=(0, 0),
 ) -> PreprocessOut:
+    """``full_width/full_height`` + ``pixel_offset``: render a (width, height)
+    crop of a larger (full_width, full_height) camera in FULL-IMAGE pixel
+    space — focal, ndc2pix and the projection all use the full dims, then
+    pixel coordinates shift by the (traced-ok) integer offset.  Because the
+    offset subtraction is exact in fp32 and tile rects shift consistently
+    (offset must be a multiple of TILE_X/TILE_Y), a crop render is
+    BIT-IDENTICAL to the full render restricted to the crop — the basis of
+    tile-sharded rendering (parallel/tile_parallel.py)."""
     P = means3d.shape[0]
-    focal_y = height / (2.0 * tan_fovy)   # rasterizer_impl.cu:226-227
-    focal_x = width / (2.0 * tan_fovx)
+    fw = width if full_width is None else full_width
+    fh = height if full_height is None else full_height
+    focal_y = fh / (2.0 * tan_fovy)   # rasterizer_impl.cu:226-227
+    focal_x = fw / (2.0 * tan_fovx)
 
     grid_x = (width + TILE_X - 1) // TILE_X
     grid_y = (height + TILE_Y - 1) // TILE_Y
@@ -175,7 +188,8 @@ def preprocess(
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, lam2)))
 
     point_image = jnp.stack(
-        [ndc2pix(p_proj[:, 0], width), ndc2pix(p_proj[:, 1], height)], axis=-1
+        [ndc2pix(p_proj[:, 0], fw) - pixel_offset[0],
+         ndc2pix(p_proj[:, 1], fh) - pixel_offset[1]], axis=-1
     )
 
     # Tile rect (auxiliary.h:45-56). Note: float-divide then int-trunc like CUDA.

@@ -46,6 +46,10 @@ class RasterizeConfig:
                                     # images, ~17-40% fewer instances)
     max_rows: int = 0               # row-source capacity for cull="exact"
                                     # (0 = max_instances // 2)
+    full_width: int = 0             # crop rendering: dims of the FULL camera
+    full_height: int = 0            # (0 = width/height); pair with the
+                                    # pixel_offset rasterize() kwarg for
+                                    # bit-exact tile-sharded slices
 
     @property
     def grid_x(self):
@@ -83,6 +87,7 @@ def rasterize(
     cov3d_precomp: Optional[jnp.ndarray] = None,
     clamp_tan_fovx=None,
     clamp_tan_fovy=None,
+    pixel_offset=(0, 0),
 ):
     """Returns dict(render [3,H,W], depth [H,W], alpha [H,W],
     segment [S,H,W]?, radii [P], visibility [P] bool, overflow [], num_rendered [])."""
@@ -95,6 +100,9 @@ def rasterize(
         colors_precomp=colors_precomp,
         clamp_tan_fovx=clamp_tan_fovx,
         clamp_tan_fovy=clamp_tan_fovy,
+        full_width=config.full_width or None,
+        full_height=config.full_height or None,
+        pixel_offset=pixel_offset,
     )
     if means2d_offset is not None:
         pre = pre._replace(means2d=pre.means2d + means2d_offset)

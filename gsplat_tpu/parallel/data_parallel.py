@@ -9,9 +9,14 @@ statistics reduce the same way: gradients-norm sums via psum, screen-radius
 maxima via pmax — replacing the reference's single-camera accumulation
 (train.py:169-180) with a batched equivalent.
 
+Reachable from the product: ``python -m gsplat_tpu.scripts.train
+--data_parallel N`` (N=-1 for all local devices) puts the Trainer in mesh
+mode — N cameras per step, densification/opacity-reset run on the replicated
+state at the same host-side boundaries as single-chip training.
+
 Multi-host: `jax.distributed.initialize()` + a global mesh makes the same
-code span hosts (DCN between hosts, ICI within) — see scripts/train.py's
-``--data_parallel``.
+code span hosts (DCN between hosts, ICI within) — see
+:mod:`gsplat_tpu.parallel.multihost`.
 """
 from __future__ import annotations
 
@@ -98,6 +103,8 @@ def make_parallel_train_step(mesh: Mesh, cfg: RasterizeConfig, opt,
         params, opt_state = adam.update(gparams, opt_state, params, lrs_tree)
         metrics = {
             "loss": loss, "l1": jax.lax.pmean(auxout["l1"], "data"),
+            "depth_loss": jax.lax.pmean(auxout["depth_loss"], "data"),
+            "seg_loss": jax.lax.pmean(auxout["seg_loss"], "data"),
             "overflow": jax.lax.pmax(
                 auxout["overflow"].astype(jnp.int32), "data"),
             "num_rendered": jax.lax.pmax(auxout["num_rendered"], "data"),

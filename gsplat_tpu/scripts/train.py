@@ -51,6 +51,12 @@ def main(argv=None):
     parser.add_argument("--depth_loss_choice", type=str, default=None)
     parser.add_argument("--iterations_override", type=int, default=0)
     parser.add_argument("--disable_gui_server", action="store_true")
+    parser.add_argument("--multihost", action="store_true",
+                        help="jax.distributed.initialize() before device "
+                             "queries (same command on every host)")
+    parser.add_argument("--coordinator_address", type=str, default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     args.save_iterations.append(args.iterations)
 
@@ -68,6 +74,12 @@ def main(argv=None):
 
     print("Optimizing " + args.model_path)
     prepare_output(args)
+
+    if args.multihost:
+        from gsplat_tpu.parallel.multihost import init_multihost
+        pid, nproc = init_multihost(args.coordinator_address,
+                                    args.num_processes, args.process_id)
+        print(f"[multihost] process {pid}/{nproc} initialized")
 
     import jax
     if dataset.data_device == "cpu":
@@ -121,7 +133,8 @@ def main(argv=None):
         max_instances=args.max_instances, model_path=args.model_path,
         gui_source_path=gui_source,
         grad_precision=getattr(args, "grad_precision", "bf16"),
-        cull=getattr(args, "cull", "none"))
+        cull=getattr(args, "cull", "none"),
+        data_parallel=getattr(args, "data_parallel", 1))
 
     metrics_log = open(os.path.join(args.model_path, "train_log.jsonl"), "a")
 

@@ -193,7 +193,8 @@ class Trainer:
     def __init__(self, model: GaussianModel, scene, opt, *, bg=None,
                  depth_loss_choice=None, use_seg=False, backend="auto",
                  max_instances=0, seed=0, model_path=None,
-                 gui_source_path=None, grad_precision="bf16", cull="none"):
+                 gui_source_path=None, grad_precision="bf16", cull="none",
+                 data_parallel=1):
         # grad_precision: per-instance gradient rows rounded to bf16 before
         # the exact f32 per-gaussian sum (halves the reduce-sort payload,
         # ~0.2% relative rounding on individual terms — the training
@@ -201,6 +202,10 @@ class Trainer:
         # cull="exact": drop provably-invisible (gaussian, tile) instances
         # (bit-equal images; pays off on trained anisotropic scenes — the
         # capacity shrink logic below sizes to the CULLED count).
+        # data_parallel: cameras per step == mesh size (the TPU scaling axis
+        # the single-GPU reference lacks, SURVEY.md §2.3): params replicated,
+        # per-camera grads pmean'd over ICI, densify stats psum/pmax'd.
+        # 1 = off, -1 = all local devices, N = first N devices.
         self.model = model
         self.scene = scene
         self.opt = opt
@@ -210,6 +215,32 @@ class Trainer:
         self.model_path = model_path
         cams = scene.getTrainCameras()
         W, H = cams[0].image_width, cams[0].image_height
+        self.mesh = None
+        self.data_parallel = 0
+        if data_parallel and data_parallel != 1:
+            ndev = (len(jax.devices()) if data_parallel < 0
+                    else min(data_parallel, len(jax.devices())))
+            if ndev > 1:
+                from gsplat_tpu.parallel.data_parallel import make_data_mesh
+                bad = [c for c in cams
+                       if (c.image_width, c.image_height) != (W, H)]
+                if bad:
+                    raise ValueError(
+                        "--data_parallel requires a uniform camera "
+                        f"resolution; got {len(bad)} cameras != {W}x{H}")
+                self.mesh = make_data_mesh(ndev)
+                self.data_parallel = ndev
+                # multi-host: this process feeds only its local devices;
+                # the ShardedCameraSampler keeps all processes' shuffles
+                # (and hence the densify-schedule RNG, SURVEY §7.3) in
+                # lockstep without communication
+                self.n_procs = jax.process_count()
+                self.proc_idx = jax.process_index()
+                self._sampler = None
+                print(f"[parallel] data-parallel over {ndev} devices, "
+                      f"{self.n_procs} process(es) "
+                      f"({ndev} cameras per global step, grads pmean over "
+                      "ICI/DCN)")
         P = model.capacity
         self._auto_capacity = max_instances <= 0
         if max_instances <= 0:
@@ -231,9 +262,17 @@ class Trainer:
     def _step_fn(self, sh_degree):
         k = (sh_degree, self.model.capacity)
         if k not in self._steps:
-            self._steps[k] = make_train_step(
-                self._cfg(sh_degree), self.opt, sh_degree,
-                self.depth_loss_choice, self.use_seg, self.bg)
+            if self.data_parallel:
+                from gsplat_tpu.parallel.data_parallel import (
+                    make_parallel_train_step,
+                )
+                self._steps[k] = make_parallel_train_step(
+                    self.mesh, self._cfg(sh_degree), self.opt, sh_degree,
+                    self.depth_loss_choice, self.use_seg, self.bg)
+            else:
+                self._steps[k] = make_train_step(
+                    self._cfg(sh_degree), self.opt, sh_degree,
+                    self.depth_loss_choice, self.use_seg, self.bg)
         return self._steps[k]
 
     def _autosize_capacity(self, cams):
@@ -308,15 +347,33 @@ class Trainer:
                             max_instances=self.max_instances))
             if it % 1000 == 0:
                 m.oneup_sh_degree()
-            if not stack:
-                stack = list(range(len(cams)))
-            cam_idx = stack.pop(rng.integers(0, len(stack)))
-            cam = cams[cam_idx]
             if batches is None:
                 batches = {}
-            if cam_idx not in batches:
-                batches[cam_idx] = camera_batch(cam)
-            batch = batches[cam_idx]
+            if self.data_parallel:
+                from gsplat_tpu.parallel.data_parallel import (
+                    stack_camera_batches,
+                )
+                from gsplat_tpu.parallel.multihost import (
+                    ShardedCameraSampler, make_global_batch,
+                )
+                if self._sampler is None:
+                    self._sampler = ShardedCameraSampler(
+                        len(cams), self.data_parallel // self.n_procs,
+                        self.proc_idx, self.n_procs, seed=0)
+                idxs = self._sampler.sample()
+                for i in idxs:
+                    if i not in batches:
+                        batches[i] = camera_batch(cams[i])
+                batch = stack_camera_batches([batches[i] for i in idxs])
+                if self.n_procs > 1:
+                    batch = make_global_batch(self.mesh, batch)
+            else:
+                if not stack:
+                    stack = list(range(len(cams)))
+                cam_idx = stack.pop(rng.integers(0, len(stack)))
+                if cam_idx not in batches:
+                    batches[cam_idx] = camera_batch(cams[cam_idx])
+                batch = batches[cam_idx]
 
             lrs = {k: jnp.float32(v) for k, v in self.lr_fn(it).items()}
             self.key, k1, k2 = jax.random.split(self.key, 3)

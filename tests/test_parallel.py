@@ -82,6 +82,55 @@ def test_parallel_step_runs_and_matches_mean_of_grads(rng):
             atol=2e-5, err_msg=f"param {k2} diverges from mean-grad update")
 
 
+def test_trainer_data_parallel_converges_like_single(tmp_path):
+    """VERDICT r1 item 1: the Trainer's mesh mode (--data_parallel) must
+    train the synthetic scene through densify + opacity-reset boundaries to
+    the same PSNR ballpark as the single-device loop."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from make_synthetic_scene import make_scene
+    from argparse import Namespace
+    from gsplat_tpu.data.scene import Scene
+    from gsplat_tpu.train.trainer import Trainer
+    from gsplat_tpu.train import losses as L
+    from gsplat_tpu.renderer import render
+
+    scene_dir = make_scene(str(tmp_path / "scene"), n_gauss=150, n_cams=8,
+                           width=48, height=48, num_class=0)
+
+    def run(dp, outdir):
+        m = GaussianModel(3, num_class=0, capacity=1024)
+        args = Namespace(source_path=scene_dir, model_path=outdir,
+                         images="images", resolution=-1,
+                         white_background=False, eval=False, sh_degree=3,
+                         num_class=0, data_device="cpu", using_depth=False,
+                         using_seg=False, able_appearance_embedding=False)
+        scene = Scene(args, m, shuffle=False)
+        m.training_setup()
+        opt = OptimizationParams()
+        opt.densify_from_iter = 30
+        opt.densification_interval = 40
+        opt.opacity_reset_interval = 120
+        opt.densify_until_iter = 150
+        tr = Trainer(m, scene, opt, backend="jnp", max_instances=1 << 14,
+                     model_path=outdir, data_parallel=dp)
+        assert tr.data_parallel == (dp if dp > 1 else 0)
+        tr.train(iterations=160, log_every=20)
+        cam = scene.getTrainCameras()[0]
+        out = render(cam, m, backend="jnp", max_instances=1 << 14)
+        img = jnp.clip(out["render"], 0, 1)
+        return float(L.psnr(img, jnp.asarray(cam.image))), m.num_alive
+
+    psnr_dp, alive_dp = run(4, str(tmp_path / "dp"))
+    psnr_1, alive_1 = run(1, str(tmp_path / "single"))
+    assert psnr_dp > 15.0, f"data-parallel PSNR too low: {psnr_dp}"
+    # 4x cameras/step sees 4x data in the same iteration budget; it must be
+    # at least as good as single-device minus noise
+    assert psnr_dp > psnr_1 - 1.5, (psnr_dp, psnr_1)
+    assert alive_dp > 0 and alive_1 > 0
+
+
 def test_parallel_densify_stats_accumulate(rng):
     mesh = make_data_mesh(2)
     m = _model_from(rng, n=60, capacity=128)

@@ -1,25 +1,25 @@
-"""Tile-sharded rendering: slice-per-device == single-device full render."""
+"""Tile-sharded rendering + training: slice-per-device must EXACTLY match
+the single-device full render/step (the crop path renders in full-image
+pixel space, so survivor sets and attributes are bit-identical per slice)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from jax.sharding import Mesh
 
+from gsplat_tpu.config import OptimizationParams
+from gsplat_tpu.models.gaussians import GaussianModel, GaussianParams
 from gsplat_tpu.ops.rasterize import RasterizeConfig, rasterize
 from gsplat_tpu.parallel.tile_parallel import (
-    crop_projection, make_tile_sharded_render, slice_camera,
+    make_tile_mesh, make_tile_sharded_render, make_tile_sharded_train_step,
+    slice_camera,
 )
+from gsplat_tpu.train.trainer import camera_batch, make_train_step
 
 from helpers import cam_args, make_camera, make_gaussians
 
 
-def test_crop_projection_identity():
-    cam = make_camera(64, 64)
-    M = crop_projection(cam.full_proj_transform, 64, 0, 64)
-    np.testing.assert_allclose(M, cam.full_proj_transform, atol=1e-6)
-
-
-def test_tile_sharded_matches_full(rng):
+def test_tile_sharded_matches_full_exactly(rng):
     D = 4
     cam = make_camera(64, 64)
     g = make_gaussians(rng, n=200)
@@ -30,20 +30,101 @@ def test_tile_sharded_matches_full(rng):
     full = rasterize(cfg, g["means3d"], g["scales"], g["rotations"],
                      g["opacities"], g["shs"], **cam_args(cam), bg=bg)
 
-    mesh = Mesh(np.array(jax.devices()[:D]), ("tile",))
+    mesh = make_tile_mesh(D)
     render = make_tile_sharded_render(mesh, cfg)
     camera = slice_camera(cam, D)
     out = render(g["means3d"], g["scales"], g["rotations"], g["opacities"],
                  g["shs"], camera, bg)
 
-    # interiors must match; the EWA fov-clamp (1.3*tanfov, forward.cu:86-88)
-    # is evaluated per-slice so extreme out-of-slice gaussians can differ at
-    # slice boundaries — compare with a small tolerance and check the bulk
-    # matches tightly.
-    a = np.asarray(out["render"])
-    b = np.asarray(full["render"])
-    diff = np.abs(a - b)
-    assert np.median(diff) < 1e-6
-    assert (diff < 1e-4).mean() > 0.99, f"mismatch beyond boundary effects: {diff.max()}"
-    np.testing.assert_allclose(np.asarray(out["alpha"]),
-                               np.asarray(full["alpha"]), atol=1e-3)
+    # bit-exact compositing: slices render in full-image pixel space
+    np.testing.assert_array_equal(np.asarray(out["render"]),
+                                  np.asarray(full["render"]))
+    np.testing.assert_array_equal(np.asarray(out["depth"]),
+                                  np.asarray(full["depth"]))
+    np.testing.assert_array_equal(np.asarray(out["alpha"]),
+                                  np.asarray(full["alpha"]))
+    # radii/visibility are pmax over slices == full-image values
+    np.testing.assert_array_equal(np.asarray(out["radii"]),
+                                  np.asarray(full["radii"]))
+    np.testing.assert_array_equal(np.asarray(out["visibility"]),
+                                  np.asarray(full["visibility"]))
+
+
+def _model(rng, n=150, capacity=256, num_class=2):
+    m = GaussianModel(3, num_class=num_class, capacity=capacity)
+    pts = rng.standard_normal((n, 3)).astype(np.float32)
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    m.create_from_pcd(pts, cols, 1.0)
+    m.training_setup()
+    return m
+
+
+def test_tile_sharded_train_step_matches_single_device(rng):
+    """VERDICT r1 item 4: backward through the slice render + grad psum must
+    equal the single-device full-image training step to ~1e-5."""
+    D = 4
+    H = W = 64
+    cam = make_camera(W, H)
+    cam.image = rng.uniform(size=(3, H, W)).astype(np.float32)
+    cam.segment = rng.integers(0, 2, (H, W)).astype(np.int32)
+    m = _model(rng)
+    opt = OptimizationParams()
+    bg = jnp.zeros(3)
+    cfg = RasterizeConfig(width=W, height=H, num_class=2,
+                          max_instances=1 << 14, k_max=512, backend="jnp")
+    batch = camera_batch(cam)
+    lrs = {k: jnp.float32(1e-3) for k in GaussianParams._fields}
+    key = jax.random.PRNGKey(0)
+
+    sstep = make_train_step(cfg, opt, 3, None, True, bg)
+    p1, o1, a1, met1 = sstep(m.params, m.opt_state, m.aux, batch, lrs, key)
+
+    mesh = make_tile_mesh(D)
+    tstep, _ = make_tile_sharded_train_step(mesh, cfg, opt, 3, None, True,
+                                            bg)
+    p2, o2, a2, met2 = tstep(m.params, m.opt_state, m.aux, batch, lrs, key)
+
+    assert np.isfinite(float(met2["loss"]))
+    np.testing.assert_allclose(float(met2["loss"]), float(met1["loss"]),
+                               rtol=1e-6)
+    for k in GaussianParams._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(p2, k)), np.asarray(getattr(p1, k)),
+            atol=1e-5, err_msg=f"param {k} diverges from single-device step")
+    # densification stats must agree too (grad tap psum'd over slices)
+    np.testing.assert_allclose(np.asarray(a2.xyz_gradient_accum),
+                               np.asarray(a1.xyz_gradient_accum), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a2.denom), np.asarray(a1.denom))
+    np.testing.assert_array_equal(np.asarray(a2.max_radii2d),
+                                  np.asarray(a1.max_radii2d))
+
+
+def test_tile_sharded_grads_exact_vs_jax_grad(rng):
+    """Per-gaussian gradients through shard_map (psum over the tile mesh)
+    vs jax.grad of the single-device loss — tight tolerance."""
+    D = 2
+    H = W = 32
+    cam = make_camera(W, H)
+    cam.image = rng.uniform(size=(3, H, W)).astype(np.float32)
+    m = _model(rng, n=80, capacity=128, num_class=0)
+    opt = OptimizationParams()
+    bg = jnp.zeros(3)
+    cfg = RasterizeConfig(width=W, height=H, num_class=0,
+                          max_instances=1 << 12, k_max=256, backend="jnp")
+    batch = camera_batch(cam)
+    key = jax.random.PRNGKey(1)
+
+    from gsplat_tpu.train.trainer import make_loss_fn
+    single_loss = make_loss_fn(cfg, opt, 3, None, False, bg)
+    mesh = make_tile_mesh(D)
+    _, tiled_loss = make_tile_sharded_train_step(mesh, cfg, opt, 3, None,
+                                                 False, bg)
+    z = jnp.zeros((m.capacity, 2))
+    g1 = jax.jit(jax.grad(lambda p: single_loss(p, z, batch, key)[0]))(
+        m.params)
+    g2 = jax.jit(jax.grad(lambda p: tiled_loss(p, z, batch, key)[0]))(
+        m.params)
+    for k in GaussianParams._fields:
+        a, b = np.asarray(getattr(g1, k)), np.asarray(getattr(g2, k))
+        np.testing.assert_allclose(b, a, atol=5e-6,
+                                   err_msg=f"grad {k} mismatch")

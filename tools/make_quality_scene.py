@@ -1,0 +1,190 @@
+"""Generate a realistic-scale COLMAP-format scene for the quality-parity
+protocol (VERDICT r1 item 2; spec: /root/reference/full_eval.py:39-75).
+
+Builds a structured ground-truth gaussian cloud (textured floor + anisotropic
+blobs), renders GT images with the rasterizer, and writes a COLMAP text-model
+scene (sparse/0/{cameras,images,points3D}.txt + images/*.png) whose
+points3D is an SfM-like degraded subsample — so training has to do real
+densification work to recover the scene, like a real COLMAP capture.
+
+Usage: python tools/make_quality_scene.py --out /tmp/qscene \
+           [--width 640 --height 480 --n_cams 32 --backend auto]
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_gt_cloud(rng):
+    """Structured anisotropic cloud: checkered floor + striped blobs + thin
+    rods — anisotropy and high-frequency texture make densification and the
+    exact ellipse cull do real work."""
+    parts = []
+
+    def add(xyz, rgb, scale, opac):
+        parts.append((xyz.astype(np.float32), rgb.astype(np.float32),
+                      scale.astype(np.float32), opac.astype(np.float32)))
+
+    # floor: 90x90 grid of flat plates at y=-1.2, checkerboard texture
+    n = 90
+    gx, gz = np.meshgrid(np.linspace(-3, 3, n), np.linspace(-3, 3, n))
+    xyz = np.stack([gx.ravel(), np.full(n * n, -1.2), gz.ravel()], 1)
+    check = ((gx.ravel() * 3).astype(int) + (gz.ravel() * 3).astype(int)) % 2
+    base = np.where(check[:, None], [0.75, 0.72, 0.65], [0.25, 0.28, 0.35])
+    rgb = np.clip(base + rng.normal(0, 0.05, (n * n, 3)), 0, 1)
+    scale = np.tile([0.055, 0.006, 0.055], (n * n, 1))
+    add(xyz, rgb, scale, np.full(n * n, 0.92))
+
+    # three striped blobs (dense sphere shells)
+    for ci, (cx, cy, cz, r, hue) in enumerate([
+            (-1.0, -0.4, 0.3, 0.65, (0.85, 0.25, 0.2)),
+            (0.9, -0.2, -0.5, 0.55, (0.2, 0.6, 0.85)),
+            (0.1, 0.5, 0.8, 0.45, (0.3, 0.8, 0.3))]):
+        m = 7000
+        v = rng.normal(size=(m, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        rad = r * (0.82 + 0.18 * rng.uniform(size=(m, 1)))
+        xyz = np.array([cx, cy, cz]) + v * rad
+        stripes = 0.5 + 0.5 * np.sin(12.0 * xyz[:, 1] + ci)
+        rgb = np.clip(np.array(hue) * stripes[:, None]
+                      + 0.15 * rng.uniform(size=(m, 3)), 0, 1)
+        # tangentially elongated: random small anisotropic scales
+        scale = np.exp(rng.normal(0, 0.4, (m, 3))) * 0.022
+        scale[:, 0] *= 2.5  # anisotropy for the ellipse cull to exploit
+        add(xyz, rgb, scale, rng.uniform(0.65, 0.95, m))
+
+    # thin vertical rods
+    for rx, rz in [(-2.0, -1.5), (1.8, 1.4), (-1.6, 1.9), (2.1, -1.8)]:
+        m = 900
+        y = np.linspace(-1.2, 0.9, m)
+        xyz = np.stack([np.full(m, rx) + rng.normal(0, 0.01, m), y,
+                        np.full(m, rz) + rng.normal(0, 0.01, m)], 1)
+        rgb = np.clip(np.stack([0.5 + 0.5 * np.sin(8 * y),
+                                np.full(m, 0.4),
+                                0.5 + 0.5 * np.cos(8 * y)], 1), 0, 1)
+        scale = np.tile([0.012, 0.05, 0.012], (m, 1))
+        add(xyz, rgb, scale, np.full(m, 0.9))
+
+    xyz = np.concatenate([p[0] for p in parts])
+    rgb = np.concatenate([p[1] for p in parts])
+    scale = np.concatenate([p[2] for p in parts])
+    opac = np.concatenate([p[3] for p in parts])
+    # random rotations
+    quat = rng.normal(size=(len(xyz), 4)).astype(np.float32)
+    return xyz, rgb, scale, quat, opac
+
+
+def orbit_camera(i, n, height_band):
+    ang = 2 * math.pi * i / n + 0.13 * height_band
+    radius = 4.2 - 0.3 * height_band
+    y = 0.35 + 0.8 * height_band
+    campos = np.array([radius * math.sin(ang), y, radius * math.cos(ang)])
+    fwd = -campos / np.linalg.norm(campos)
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(up, fwd)  # reader convention: R col-major cam axes
+    right /= np.linalg.norm(right)
+    true_up = np.cross(fwd, right)
+    # world->cam rotation (rows = camera axes in world)
+    Rcw = np.stack([right, true_up, fwd], 0)
+    tvec = -Rcw @ campos
+    return Rcw, tvec, campos
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--n_cams", type=int, default=32)
+    ap.add_argument("--n_init_points", type=int, default=8000)
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gsplat_tpu.core import sh as sh_lib
+    from gsplat_tpu.core.cameras import Camera, fov2focal
+    from gsplat_tpu.data import colmap as colmap_lib
+    from gsplat_tpu.ops.rasterize import RasterizeConfig, rasterize
+
+    rng = np.random.default_rng(args.seed)
+    W, H = args.width, args.height
+    os.makedirs(os.path.join(args.out, "images"), exist_ok=True)
+    sparse = os.path.join(args.out, "sparse", "0")
+    os.makedirs(sparse, exist_ok=True)
+
+    xyz, rgb, scale, quat, opac = build_gt_cloud(rng)
+    P = len(xyz)
+    print(f"GT cloud: {P} gaussians")
+    shs = np.zeros((P, 16, 3), np.float32)
+    shs[:, 0] = np.asarray(sh_lib.rgb_to_sh(rgb))
+
+    fovx = math.radians(62.0)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
+    fl_x, fl_y = fov2focal(fovx, W), fov2focal(fovy, H)
+
+    cfg = RasterizeConfig(width=W, height=H, sh_degree=0,
+                          max_instances=1 << 21, k_max=2048,
+                          backend=args.backend)
+    g_args = (jnp.asarray(xyz), jnp.asarray(scale), jnp.asarray(quat),
+              jnp.asarray(opac), jnp.asarray(shs))
+
+    cams, imgs = {}, {}
+    cams[1] = colmap_lib.ColmapCamera(
+        id=1, model="PINHOLE", width=W, height=H,
+        params=np.array([fl_x, fl_y, W / 2.0, H / 2.0]))
+
+    for i in range(args.n_cams):
+        band = i % 2
+        Rcw, tvec, campos = orbit_camera(i // 2, args.n_cams // 2, band)
+        cam = Camera(colmap_id=i + 1, R=Rcw.T, T=tvec, FoVx=fovx, FoVy=fovy,
+                     image=np.zeros((3, H, W), np.float32),
+                     image_name=f"img_{i:04d}", uid=i)
+        out = rasterize(
+            cfg, *g_args,
+            viewmatrix=jnp.asarray(cam.world_view_transform),
+            projmatrix=jnp.asarray(cam.full_proj_transform),
+            campos=jnp.asarray(cam.camera_center),
+            tan_fovx=jnp.float32(cam.tan_fovx),
+            tan_fovy=jnp.float32(cam.tan_fovy),
+            bg=jnp.zeros(3))
+        assert not bool(out["overflow"]), "GT render overflowed capacity"
+        img = np.asarray(jnp.clip(out["render"], 0, 1))
+        arr = (np.moveaxis(img, 0, -1) * 255 + 0.5).astype(np.uint8)
+        name = f"img_{i:04d}.png"
+        Image.fromarray(arr).save(os.path.join(args.out, "images", name))
+        q = colmap_lib.rotmat2qvec(Rcw)
+        imgs[i + 1] = colmap_lib.ColmapImage(
+            id=i + 1, qvec=q, tvec=tvec, camera_id=1, name=name,
+            xys=np.zeros((0, 2)), point3D_ids=np.zeros(0, int))
+        print(f"rendered {name} (nrend={int(out['num_rendered'])})")
+
+    colmap_lib.write_intrinsics_text(os.path.join(sparse, "cameras.txt"), cams)
+    colmap_lib.write_extrinsics_text(os.path.join(sparse, "images.txt"), imgs)
+
+    # SfM-like degraded init: noisy subsample of GT positions
+    sel = rng.choice(P, size=min(args.n_init_points, P), replace=False)
+    pts = xyz[sel] + rng.normal(0, 0.02, (len(sel), 3)).astype(np.float32)
+    cols = np.clip(rgb[sel] + rng.normal(0, 0.05, (len(sel), 3)), 0, 1)
+    with open(os.path.join(sparse, "points3D.txt"), "w") as f:
+        f.write("# 3D point list\n")
+        for j, (p, c) in enumerate(zip(pts, cols)):
+            r, g, b = (int(v * 255) for v in c)
+            f.write(f"{j + 1} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                    f"{r} {g} {b} 0.5\n")
+    print(f"scene written to {args.out} "
+          f"({args.n_cams} cams, {len(sel)} init points)")
+
+
+if __name__ == "__main__":
+    main()
