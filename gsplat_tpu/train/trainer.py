@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 import time
 from typing import Optional
 
@@ -251,29 +252,84 @@ class Trainer:
         self.key = jax.random.PRNGKey(seed)
         self.lr_fn = make_lr_fn(opt, model.spatial_lr_scale)
         self._steps = {}
-        self._cfg = lambda sh: RasterizeConfig(
+        self._cfg = lambda sh, mi=None: RasterizeConfig(
             width=W, height=H, sh_degree=sh,
             num_class=model.num_class if use_seg else 0,
-            max_instances=self.max_instances, backend=backend,
+            max_instances=mi if mi else self.max_instances, backend=backend,
             grad_precision=grad_precision, cull=cull)
         self.ema_loss = 0.0
         self.gui_source_path = gui_source_path  # enables SIBR socket polling
+        # compile-ahead state: capacity growth and SH-degree bumps recompile
+        # the step (~50 s at 1080p, BENCH_r01); a background thread lowers +
+        # compiles the NEXT variant while training continues at the current
+        # one, so the swap is stall-free (VERDICT r1 item 6)
+        self._pending = {}           # (sh, model_cap, max_inst) -> holder
+        self._example_args = None
+
+    def _build_step(self, sh_degree, max_instances):
+        if self.data_parallel:
+            from gsplat_tpu.parallel.data_parallel import (
+                make_parallel_train_step,
+            )
+            return make_parallel_train_step(
+                self.mesh, self._cfg(sh_degree, max_instances), self.opt,
+                sh_degree, self.depth_loss_choice, self.use_seg, self.bg)
+        return make_train_step(
+            self._cfg(sh_degree, max_instances), self.opt, sh_degree,
+            self.depth_loss_choice, self.use_seg, self.bg)
 
     def _step_fn(self, sh_degree):
-        k = (sh_degree, self.model.capacity)
+        k = (sh_degree, self.model.capacity, self.max_instances)
         if k not in self._steps:
-            if self.data_parallel:
-                from gsplat_tpu.parallel.data_parallel import (
-                    make_parallel_train_step,
-                )
-                self._steps[k] = make_parallel_train_step(
-                    self.mesh, self._cfg(sh_degree), self.opt, sh_degree,
-                    self.depth_loss_choice, self.use_seg, self.bg)
+            # adopt a finished background compile if one matches
+            holder = self._pending.pop(k, None)
+            if holder is not None and "exe" in holder:
+                self._steps[k] = holder["exe"]
             else:
-                self._steps[k] = make_train_step(
-                    self._cfg(sh_degree), self.opt, sh_degree,
-                    self.depth_loss_choice, self.use_seg, self.bg)
+                self._steps[k] = self._build_step(
+                    sh_degree, self.max_instances)
         return self._steps[k]
+
+    def _precompile_async(self, sh_degree, max_instances):
+        """Lower + compile step variant (sh_degree, max_instances) in a
+        daemon thread; result adopted by _step_fn / _try_adopt_pending."""
+        k = (sh_degree, self.model.capacity, max_instances)
+        if (k in self._steps or k in self._pending
+                or self._example_args is None):
+            return
+        holder = {}
+        self._pending[k] = holder
+        example = self._example_args
+
+        def work():
+            try:
+                fn = self._build_step(sh_degree, max_instances)
+                holder["exe"] = fn.lower(*example).compile()
+            except Exception as e:          # adoption falls back to sync
+                holder["err"] = e
+
+        th = threading.Thread(target=work, daemon=True,
+                              name=f"precompile-{sh_degree}-{max_instances}")
+        holder["thread"] = th
+        th.start()
+
+    def _try_adopt_pending(self, sh_degree, needed: int) -> bool:
+        """If a finished background compile covers >= needed instances,
+        switch to its capacity without any stall. Returns True on adoption."""
+        best = None
+        for k, holder in self._pending.items():
+            sh, mcap, mi = k
+            if (sh == sh_degree and mcap == self.model.capacity
+                    and mi >= needed and "exe" in holder
+                    and (best is None or mi < best[0][2])):
+                best = (k, holder)
+        if best is None:
+            return False
+        k, holder = best
+        self._pending.pop(k)
+        self.max_instances = k[2]
+        self._steps = {k: holder["exe"]}
+        return True
 
     def _autosize_capacity(self, cams):
         """Measure the scene's real instance demand on a few cameras and
@@ -380,6 +436,15 @@ class Trainer:
             step = self._step_fn(m.active_sh_degree)
             m.params, m.opt_state, m.aux, metrics = step(
                 m.params, m.opt_state, m.aux, batch, lrs, k1)
+            if self._example_args is None:
+                self._example_args = (m.params, m.opt_state, m.aux, batch,
+                                      lrs, k1)
+            # compile-ahead for the next SH-degree bump (every 1000 iters,
+            # loop top): start the background compile ~100 iters early
+            if (it % 1000 >= 900 and m.active_sh_degree < m.max_sh_degree
+                    and it + (1000 - it % 1000) <= iterations):
+                self._precompile_async(m.active_sh_degree + 1,
+                                       self.max_instances)
 
             if it % log_every == 0 or it == iterations:
                 loss = float(metrics["loss"])
@@ -389,14 +454,38 @@ class Trainer:
                 # and recover immediately if one did overflow
                 nr = int(metrics["num_rendered"])
                 pads = 64 * self._cfg(0).grid_x * self._cfg(0).grid_y
-                if bool(metrics["overflow"]) or (
-                        nr + pads > 0.9 * self.max_instances):
-                    if bool(metrics["overflow"]):
+                overflow = bool(metrics["overflow"])
+                if not overflow and (
+                        0.72 * self.max_instances < nr + pads
+                        <= 0.9 * self.max_instances):
+                    # densification is approaching the capacity ceiling —
+                    # compile the grown step in the background NOW so the
+                    # 90% trigger below swaps without a stall
+                    blk = 1 << 17
+                    target = max(self.max_instances + blk,
+                                 (int(nr * 1.4) + pads + blk - 1)
+                                 // blk * blk)
+                    self._precompile_async(m.active_sh_degree, target)
+                if overflow or nr + pads > 0.9 * self.max_instances:
+                    if overflow:
                         print(f"[it {it}] WARNING: instance capacity "
                               f"overflow ({nr} rendered) — regrowing")
-                    self._resize_capacity(int(nr * 1.4) + pads)
-                    print(f"[it {it}] instance capacity -> "
-                          f"{self.max_instances}")
+                    if self._try_adopt_pending(m.active_sh_degree,
+                                               int(nr * 1.4) + pads):
+                        print(f"[it {it}] instance capacity -> "
+                              f"{self.max_instances} (precompiled, "
+                              "stall-free)")
+                    elif overflow or not any(
+                            "exe" not in h and "err" not in h
+                            for h in self._pending.values()):
+                        # no background compile running/usable: grow now
+                        # (synchronous compile). On a mere 90% trigger with
+                        # a compile still in flight, keep training at the
+                        # current capacity — the overflow flag guards
+                        # correctness until the compile lands.
+                        self._resize_capacity(int(nr * 1.4) + pads)
+                        print(f"[it {it}] instance capacity -> "
+                              f"{self.max_instances}")
                 elif nr + pads < 0.5 * self.max_instances and \
                         self.max_instances > (1 << 18):
                     # shrink toward ~60% utilization (wide hysteresis vs the
@@ -444,7 +533,7 @@ class Trainer:
         always evaluates idx*5%len train cameras even without --eval)."""
         from gsplat_tpu.renderer import render as render_fn
         train_cams = self.scene.getTrainCameras()
-        configs = [("test", self.scene.getTestCameras()[:8]),
+        configs = [("test", self.scene.getTestCameras()),
                    ("train", [train_cams[idx % len(train_cams)]
                               for idx in range(5, 30, 5)] if train_cams
                     else [])]

@@ -234,6 +234,130 @@ def test_state_dict_conversion(hybrid):
     assert np.isfinite(np.asarray(y)).all()
 
 
+def _torch_dpt_forward(sd, cfg, x_t):
+    """Functional torch oracle: the official DPT monodepth forward computed
+    directly from an official-schema state dict (semantics of
+    /root/reference/DPT/dpt/vit.py:166-337 forward_flex + act_postprocess,
+    blocks.py:326-383 FeatureFusionBlock_custom, models.py:26-106 heads),
+    written independently in torch.nn.functional.  Non-hybrid ViT only.
+    x_t: [N,3,H,W] with H=W=patch*grid (no pos-embed resize on this path).
+    """
+    import torch.nn.functional as F
+
+    C, heads = cfg.vit_dim, cfg.vit_heads
+    n = x_t.shape[0]
+
+    # patch embed -> tokens (+cls, +pos)
+    tok = F.conv2d(x_t, sd["pretrained.model.patch_embed.proj.weight"],
+                   sd["pretrained.model.patch_embed.proj.bias"],
+                   stride=cfg.patch)
+    gh, gw = tok.shape[2], tok.shape[3]
+    tok = tok.flatten(2).transpose(1, 2)                       # [N,T,C]
+    cls = sd["pretrained.model.cls_token"].expand(n, -1, -1)
+    tok = torch.cat([cls, tok], dim=1)
+    tok = tok + sd["pretrained.model.pos_embed"]
+
+    taps = {}
+    for i in range(cfg.vit_depth):
+        p = f"pretrained.model.blocks.{i}."
+        h = F.layer_norm(tok, (C,), sd[p + "norm1.weight"],
+                         sd[p + "norm1.bias"], eps=1e-6)
+        qkv = F.linear(h, sd[p + "attn.qkv.weight"], sd[p + "attn.qkv.bias"])
+        qkv = qkv.reshape(n, -1, 3, heads, C // heads).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]                       # [N,H,T,D]
+        att = (q @ k.transpose(-2, -1)) * (C // heads) ** -0.5
+        att = att.softmax(dim=-1)
+        h = (att @ v).transpose(1, 2).reshape(n, -1, C)
+        h = F.linear(h, sd[p + "attn.proj.weight"], sd[p + "attn.proj.bias"])
+        tok = tok + h
+        h = F.layer_norm(tok, (C,), sd[p + "norm2.weight"],
+                         sd[p + "norm2.bias"], eps=1e-6)
+        h = F.gelu(F.linear(h, sd[p + "mlp.fc1.weight"], sd[p + "mlp.fc1.bias"]))
+        h = F.linear(h, sd[p + "mlp.fc2.weight"], sd[p + "mlp.fc2.bias"])
+        tok = tok + h
+        if i in cfg.hooks:
+            taps[i] = tok
+
+    def reassemble(npost, t, kind):
+        p = f"pretrained.act_postprocess{npost}."
+        # readout 'project': concat cls onto every patch token, linear+GELU
+        cls_r = t[:, :1].expand(-1, t.shape[1] - 1, -1)
+        f = torch.cat([t[:, 1:], cls_r], dim=-1)
+        f = F.gelu(F.linear(f, sd[p + "0.project.0.weight"],
+                            sd[p + "0.project.0.bias"]))
+        f = f.transpose(1, 2).reshape(n, C, gh, gw)
+        f = F.conv2d(f, sd[p + "3.weight"], sd[p + "3.bias"])
+        if kind in ("up4", "up2"):
+            f = F.conv_transpose2d(f, sd[p + "4.weight"], sd[p + "4.bias"],
+                                   stride=4 if kind == "up4" else 2)
+        elif kind == "down2":
+            f = F.conv2d(f, sd[p + "4.weight"], sd[p + "4.bias"],
+                         stride=2, padding=1)
+        return f
+
+    l1 = reassemble(1, taps[cfg.hooks[0]], "up4")
+    l2 = reassemble(2, taps[cfg.hooks[1]], "up2")
+    l3 = reassemble(3, taps[cfg.hooks[2]], "none")
+    l4 = reassemble(4, taps[cfg.hooks[3]], "down2")
+
+    r = [F.conv2d(l, sd[f"scratch.layer{i}_rn.weight"], padding=1)
+         for i, l in enumerate([l1, l2, l3, l4], 1)]
+
+    def rcu(p, x):
+        h = F.relu(x)
+        h = F.conv2d(h, sd[p + ".conv1.weight"], sd[p + ".conv1.bias"],
+                     padding=1)
+        h = F.relu(h)
+        h = F.conv2d(h, sd[p + ".conv2.weight"], sd[p + ".conv2.bias"],
+                     padding=1)
+        return h + x
+
+    def fusion(nref, x, skip):
+        p = f"scratch.refinenet{nref}"
+        if skip is not None:
+            x = x + rcu(p + ".resConfUnit1", skip)
+        x = rcu(p + ".resConfUnit2", x)
+        x = F.interpolate(x, scale_factor=2, mode="bilinear",
+                          align_corners=True)
+        return F.conv2d(x, sd[p + ".out_conv.weight"], sd[p + ".out_conv.bias"])
+
+    h = fusion(4, r[3], None)
+    h = fusion(3, h, r[2])
+    h = fusion(2, h, r[1])
+    h = fusion(1, h, r[0])
+
+    y = F.conv2d(h, sd["scratch.output_conv.0.weight"],
+                 sd["scratch.output_conv.0.bias"], padding=1)
+    y = F.interpolate(y, scale_factor=2, mode="bilinear", align_corners=True)
+    y = F.relu(F.conv2d(y, sd["scratch.output_conv.2.weight"],
+                        sd["scratch.output_conv.2.bias"], padding=1))
+    y = F.conv2d(y, sd["scratch.output_conv.4.weight"],
+                 sd["scratch.output_conv.4.bias"])
+    return F.relu(y)[:, 0]
+
+
+def test_dpt_forward_matches_torch_oracle():
+    """End-to-end numeric validation of convert_state_dict + dpt_forward:
+    an official-key-schema checkpoint run through an independent functional
+    torch implementation of the DPT monodepth forward must equal our JAX
+    forward after conversion (VERDICT r1 item 5 — the strongest check
+    available without official weights in the image)."""
+    from gsplat_tpu.depth.weights import convert_state_dict
+    cfg = _small_cfg(hybrid=False)
+    sd = _synth_state_dict(cfg)
+    x = np.random.default_rng(7).standard_normal((2, 64, 64, 3)).astype(
+        np.float32) * 0.5
+
+    with torch.no_grad():
+        ref = _torch_dpt_forward(sd, cfg, torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).numpy()
+
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_state_dict(sd, cfg))
+    y = np.asarray(dpt_forward(params, cfg, jnp.asarray(x)))
+    np.testing.assert_allclose(y, ref, atol=2e-4, rtol=1e-3)
+
+
 def test_pos_embed_resize_identity():
     from gsplat_tpu.depth.dpt import resize_pos_embed
     pos = jnp.asarray(np.random.default_rng(0).standard_normal(

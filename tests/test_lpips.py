@@ -1,0 +1,104 @@
+"""LPIPS numeric validation (VERDICT r1 item 7).
+
+No official weights can exist in this image (no torchvision, no egress), so
+the strongest available check: a synthetic checkpoint pair with the OFFICIAL
+key schemas (torchvision VGG16 features.* + LPIPS lin{j}.model.1.weight) is
+converted by tools/convert_lpips_weights.py and our JAX LPIPS must equal an
+independent functional-torch implementation of the official LPIPS forward
+(reference lpipsPyTorch/modules/lpips.py + networks.py semantics).
+"""
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/repo/tools")
+from convert_lpips_weights import VGG16_FEATURE_CONV_IDX, convert  # noqa: E402
+
+from gsplat_tpu.viz.lpips import LPIPS, VGG_CFG, SLICE_ENDS  # noqa: E402
+
+CHANNELS = [c for c in VGG_CFG if c != "M"]
+
+
+def _synth_state_dicts(rng):
+    """(vgg_sd, lin_sd) with official keys/shapes, small random values."""
+    vgg_sd, lin_sd = {}, {}
+    cin = 3
+    for fi, cout in zip(VGG16_FEATURE_CONV_IDX, CHANNELS):
+        vgg_sd[f"features.{fi}.weight"] = torch.from_numpy(
+            rng.standard_normal((cout, cin, 3, 3)).astype(np.float32) * 0.05)
+        vgg_sd[f"features.{fi}.bias"] = torch.from_numpy(
+            rng.standard_normal(cout).astype(np.float32) * 0.05)
+        cin = cout
+    for j, end in enumerate(SLICE_ENDS):
+        c = CHANNELS[end - 1]
+        lin_sd[f"lin{j}.model.1.weight"] = torch.from_numpy(
+            rng.uniform(0, 0.2, (1, c, 1, 1)).astype(np.float32))
+    return vgg_sd, lin_sd
+
+
+def _torch_lpips(vgg_sd, lin_sd, a, b):
+    """Functional torch oracle of the official LPIPS 'vgg' forward:
+    scaling layer -> VGG16 slices (relu1_2..relu5_3) -> unit-normalize ->
+    squared diff -> 1x1 lin conv -> spatial mean -> sum over layers."""
+    import torch.nn.functional as F
+
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def features(x):
+        h = (x * 2 - 1 - shift) / scale
+        feats = []
+        conv_i = 0
+        for c in VGG_CFG:
+            if c == "M":
+                h = F.max_pool2d(h, 2, 2)
+                continue
+            fi = VGG16_FEATURE_CONV_IDX[conv_i]
+            h = F.relu(F.conv2d(h, vgg_sd[f"features.{fi}.weight"],
+                                vgg_sd[f"features.{fi}.bias"], padding=1))
+            conv_i += 1
+            if conv_i in SLICE_ENDS:
+                feats.append(h)
+        return feats
+
+    total = torch.zeros(())
+    for j, (f1, f2) in enumerate(zip(features(a), features(b))):
+        n1 = f1 / (f1.norm(dim=1, keepdim=True) + 1e-10)
+        n2 = f2 / (f2.norm(dim=1, keepdim=True) + 1e-10)
+        d = (n1 - n2) ** 2
+        w = lin_sd[f"lin{j}.model.1.weight"]
+        total = total + F.conv2d(d, w).mean()
+    return float(total)
+
+
+def test_lpips_matches_torch_oracle(tmp_path):
+    rng = np.random.default_rng(11)
+    vgg_sd, lin_sd = _synth_state_dicts(rng)
+    npz = convert(vgg_sd, lin_sd)
+    path = tmp_path / "lpips_synth.npz"
+    np.savez(path, **npz)
+
+    a = rng.uniform(0, 1, (3, 64, 64)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape).astype(np.float32), 0, 1)
+
+    with torch.no_grad():
+        ref = _torch_lpips(vgg_sd, lin_sd,
+                           torch.from_numpy(a)[None],
+                           torch.from_numpy(b)[None])
+
+    model = LPIPS(weights_path=str(path))
+    ours = model(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=1e-5)
+    # sanity: identical images -> 0
+    assert model(jnp.asarray(a), jnp.asarray(a)) == pytest.approx(0, abs=1e-7)
+
+
+def test_lpips_raises_without_weights(monkeypatch):
+    monkeypatch.delenv("GSPLAT_LPIPS_WEIGHTS", raising=False)
+    with pytest.raises(FileNotFoundError):
+        LPIPS()

@@ -146,3 +146,78 @@ def test_capacity_autosize_and_regrow(synth_scene, tmp_path):
                   model_path=str(tmp_path / "m2"))
     tr2.train(iterations=4, log_every=1)
     assert tr2.max_instances > 256
+
+
+def test_compile_ahead_capacity_swap(synth_scene, tmp_path):
+    """Background compile-ahead (VERDICT r1 item 6): a precompiled step for
+    a larger instance capacity is adopted stall-free by _try_adopt_pending,
+    and the adopted executable produces the same results as the jit path."""
+    import jax
+    from gsplat_tpu.config import OptimizationParams
+    from gsplat_tpu.data.scene import Scene
+    from gsplat_tpu.models.gaussians import GaussianModel
+    from gsplat_tpu.train.trainer import Trainer
+
+    m = GaussianModel(3, num_class=3, capacity=1024)
+    args = _make_args(synth_scene, str(tmp_path / "model"))
+    scene = Scene(args, m, shuffle=False)
+    m.training_setup()
+    opt = OptimizationParams()
+    opt.densify_from_iter = 10_000
+
+    tr = Trainer(m, scene, opt, backend="jnp", max_instances=1 << 14,
+                 model_path=str(tmp_path / "m"))
+    tr.train(iterations=2, log_every=1)
+    assert tr._example_args is not None
+
+    # kick off a background compile for a larger capacity and wait for it
+    sh = m.active_sh_degree
+    target = 1 << 15
+    tr._precompile_async(sh, target)
+    key = (sh, m.capacity, target)
+    assert key in tr._pending
+    tr._pending[key]["thread"].join(timeout=300)
+    holder = tr._pending[key]
+    assert "exe" in holder, holder.get("err")
+
+    # adoption: needed fits under the precompiled capacity -> swap, no clear
+    assert tr._try_adopt_pending(sh, (1 << 14) + 1)
+    assert tr.max_instances == target
+    assert key not in tr._pending
+
+    # the adopted executable must match a freshly-jitted step bit-for-bit
+    params, opt_state, aux, batch, lrs, k1 = tr._example_args
+    exe_out = tr._steps[key](params, opt_state, aux, batch, lrs, k1)
+    jit_out = tr._build_step(sh, target)(params, opt_state, aux, batch,
+                                         lrs, k1)
+    for a, b in zip(jax.tree_util.tree_leaves(exe_out),
+                    jax.tree_util.tree_leaves(jit_out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # two more steps run fine at the adopted capacity
+    tr.train(iterations=4, log_every=1, first_iter=2)
+
+
+def test_compile_ahead_adoption_requires_fit(synth_scene, tmp_path):
+    """_try_adopt_pending must NOT adopt a precompiled capacity smaller than
+    the needed instance demand."""
+    from gsplat_tpu.config import OptimizationParams
+    from gsplat_tpu.data.scene import Scene
+    from gsplat_tpu.models.gaussians import GaussianModel
+    from gsplat_tpu.train.trainer import Trainer
+
+    m = GaussianModel(3, num_class=3, capacity=1024)
+    args = _make_args(synth_scene, str(tmp_path / "model"))
+    scene = Scene(args, m, shuffle=False)
+    m.training_setup()
+    opt = OptimizationParams()
+    opt.densify_from_iter = 10_000
+    tr = Trainer(m, scene, opt, backend="jnp", max_instances=1 << 14,
+                 model_path=str(tmp_path / "m"))
+    tr.train(iterations=2, log_every=1)
+    sh = m.active_sh_degree
+    tr._precompile_async(sh, 1 << 15)
+    key = (sh, m.capacity, 1 << 15)
+    tr._pending[key]["thread"].join(timeout=300)
+    assert not tr._try_adopt_pending(sh, (1 << 15) + 1)  # too small
+    assert tr.max_instances == 1 << 14

@@ -164,3 +164,68 @@ def test_network_gui_roundtrip(rng):
     network_gui.conn = None
     network_gui.listener.close()
     network_gui.listener = None
+
+
+def test_network_gui_wire_golden():
+    """Byte-level wire-protocol conformance against a RECORDED golden
+    exchange produced by executing the reference's own network_gui.py
+    read()/send() over a socketpair (reference network_gui.py:43-55).
+
+    Golden reply layout: raw image bytes ++ u32le(len(verify)) ++
+    ascii(verify).  Golden request layout: u32le(len(json)) ++ json.
+    """
+    import socket
+    from gsplat_tpu.viz import network_gui
+
+    # -- reply framing: our send() must emit the exact reference bytes
+    GOLDEN_REPLY = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f1011121314151617"  # 24 image bytes
+        "10000000"                                           # u32le 16
+        "2f7265662f736f757263652f70617468")                  # "/ref/source/path"
+    a, b = socket.socketpair()
+    network_gui.conn = a
+    network_gui.send(bytes(range(24)), "/ref/source/path")
+    a.shutdown(socket.SHUT_WR)
+    reply = b""
+    while True:
+        chunk = b.recv(4096)
+        if not chunk:
+            break
+        reply += chunk
+    assert reply == GOLDEN_REPLY
+
+    # -- request framing: our read() must parse the reference client framing
+    msg = {"resolution_x": 4, "resolution_y": 2, "train": True,
+           "fov_y": 0.8, "fov_x": 1.2, "z_near": 0.01, "z_far": 100.0,
+           "shs_python": False, "rot_scale_python": False,
+           "keep_alive": True, "scaling_modifier": 1.0,
+           "view_matrix": [float(i) for i in range(16)],
+           "view_projection_matrix": [float(i) for i in range(16)]}
+    payload = json.dumps(msg).encode("utf-8")
+    b.sendall(len(payload).to_bytes(4, "little") + payload)
+    network_gui.conn = a
+    parsed = network_gui.read()
+    assert parsed == msg
+
+    # -- receive() camera math: columns 1,2 of the view matrix and column 1
+    # of the proj matrix are negated (reference network_gui.py:72-76).
+    # (Invertible view matrix — MiniCam derives camera_center via inv.)
+    vm0 = np.eye(4)
+    vm0[3, :3] = [1.0, -2.0, 3.0]
+    pm0 = np.diag([1.0, 2.0, 3.0, 4.0])
+    msg2 = dict(msg, view_matrix=list(vm0.ravel()),
+                view_projection_matrix=list(pm0.ravel()))
+    payload2 = json.dumps(msg2).encode("utf-8")
+    b.sendall(len(payload2).to_bytes(4, "little") + payload2)
+    cam, do_training, _, _, keep_alive, sm = network_gui.receive()
+    vm = vm0.copy()
+    vm[:, 1] = -vm[:, 1]
+    vm[:, 2] = -vm[:, 2]
+    pm = pm0.copy()
+    pm[:, 1] = -pm[:, 1]
+    np.testing.assert_array_equal(np.asarray(cam.world_view_transform), vm)
+    np.testing.assert_array_equal(np.asarray(cam.full_proj_transform), pm)
+    assert do_training is True and keep_alive is True and sm == 1.0
+    network_gui.conn = None
+    a.close()
+    b.close()

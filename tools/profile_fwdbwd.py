@@ -28,8 +28,28 @@ def main():
         tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy, bg=bg,
     )
     tgt = jnp.zeros((3, H, W))
-    cfg = RasterizeConfig(width=W, height=H, max_instances=2490368,
-                          backend="pallas", grad_precision="bf16")
+    # mirror bench.py's current defaults: exact cull + tight culled capacity
+    from gsplat_tpu.ops import binning as bin_lib
+    from gsplat_tpu.ops import preprocess as pre_lib
+    gx, gy = (W + 15) // 16, (H + 15) // 16
+
+    @jax.jit
+    def count_culled(g):
+        pre = pre_lib.preprocess(
+            g["means3d"], g["scales"], g["rotations"], g["opacities"],
+            g["shs"], 3, cam_kw["viewmatrix"], cam_kw["projmatrix"],
+            cam_kw["campos"], cam_kw["tan_fovx"], cam_kw["tan_fovy"], W, H)
+        bins = bin_lib.bin_gaussians(pre, gx, gy, 4 << 20, align=128,
+                                     cull="exact")
+        padded = bins.tile_count + (-bins.tile_count) % 128
+        return jnp.sum(padded)
+
+    need = int(count_culled(g))
+    max_inst = ((int(need * 1.005) + (1 << 17) - 1) >> 17) << 17
+    print("capacity", max_inst, flush=True)
+    cfg = RasterizeConfig(width=W, height=H, max_instances=max_inst,
+                          backend="pallas", grad_precision="bf16",
+                          cull="exact")
 
     @jax.jit
     def fwdbwd(g):

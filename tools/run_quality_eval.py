@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Quality-parity protocol, one command (VERDICT r1 item 2).
+
+Reproduces the reference's full_eval protocol (full_eval.py:39-75 +
+metrics.py:36-93) on the synthetic COLMAP quality scene:
+
+  1. tools/make_quality_scene.py  -> COLMAP-format scene (GT renders)
+  2. scripts/train  --eval 7k iters (densification, llffhold test split)
+  3. scripts/render --skip_train (test-split renders at iteration 7000)
+  4. scripts/metrics              (PSNR/SSIM[/LPIPS] -> results.json)
+  5. writes docs/QUALITY_r2.json: metrics + train PSNR + image hash +
+     the exact commands, so the artifact is reproducible and auditable.
+
+Usage: python tools/run_quality_eval.py [--iters 7000] [--out docs/QUALITY_r2.json]
+       [--scene /tmp/qscene] [--model /tmp/qrun] [--width 640 --height 480]
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cmd, **kw):
+    print("+", " ".join(cmd), flush=True)
+    t0 = time.time()
+    subprocess.run(cmd, check=True, cwd=REPO, **kw)
+    return time.time() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="/tmp/qscene")
+    ap.add_argument("--model", default="/tmp/qrun")
+    ap.add_argument("--iters", type=int, default=7000)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--n_cams", type=int, default=32)
+    ap.add_argument("--out", default="docs/QUALITY_r2.json")
+    ap.add_argument("--skip_scene", action="store_true",
+                    help="reuse an existing --scene directory")
+    args = ap.parse_args()
+
+    py = [sys.executable]
+    t_scene = 0.0
+    if not args.skip_scene:
+        t_scene = run(py + ["tools/make_quality_scene.py", "--out",
+                            args.scene, "--width", str(args.width),
+                            "--height", str(args.height),
+                            "--n_cams", str(args.n_cams)])
+
+    t_train = run(py + ["-m", "gsplat_tpu.scripts.train",
+                        "-s", args.scene, "-m", args.model, "--eval",
+                        "--iterations_override", str(args.iters),
+                        "--test_iterations", str(args.iters),
+                        "--save_iterations", str(args.iters),
+                        "--disable_gui_server"])
+
+    t_render = run(py + ["-m", "gsplat_tpu.scripts.render",
+                         "-s", args.scene, "-m", args.model,
+                         "--iteration", str(args.iters), "--eval",
+                         "--skip_train"])
+
+    run(py + ["-m", "gsplat_tpu.scripts.metrics", "-m", args.model])
+
+    with open(os.path.join(args.model, "results.json")) as f:
+        results = json.load(f)
+
+    # hash the first rendered test image for auditability
+    rdir = os.path.join(args.model, "test", f"ours_{args.iters}", "renders")
+    img_hash = None
+    if os.path.isdir(rdir) and sorted(os.listdir(rdir)):
+        first = sorted(os.listdir(rdir))[0]
+        with open(os.path.join(rdir, first), "rb") as f:
+            img_hash = f"{first}:sha256:" + hashlib.sha256(
+                f.read()).hexdigest()[:16]
+
+    # alive-gaussian count from the saved PLY header
+    ply = os.path.join(args.model, "point_cloud",
+                       f"iteration_{args.iters}", "point_cloud.ply")
+    n_gauss = None
+    if os.path.exists(ply):
+        with open(ply, "rb") as f:
+            head = f.read(512).decode("latin1")
+        for line in head.splitlines():
+            if line.startswith("element vertex"):
+                n_gauss = int(line.split()[-1])
+
+    artifact = {
+        "protocol": "full_eval (7k) on synthetic COLMAP quality scene",
+        "scene": {"width": args.width, "height": args.height,
+                  "n_cams": args.n_cams, "llffhold_test_split": True},
+        "iterations": args.iters,
+        "results": results,
+        "final_gaussians": n_gauss,
+        "first_test_render": img_hash,
+        "wall_clock_s": {"scene_gen": round(t_scene, 1),
+                         "train": round(t_train, 1),
+                         "render": round(t_render, 1)},
+        "reproduce": "python tools/run_quality_eval.py",
+    }
+    os.makedirs(os.path.dirname(os.path.join(REPO, args.out)), exist_ok=True)
+    with open(os.path.join(REPO, args.out), "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(json.dumps(artifact, indent=2))
+
+
+if __name__ == "__main__":
+    main()
