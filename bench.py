@@ -159,6 +159,28 @@ def main():
     t_fwd, _ = timed(lambda g: fwd(g)[0], g)
     t_fb, _ = timed(lambda g: fwdbwd(g)[0], g)
 
+    # render-only product surface (render.py / SIBR viewer): no grad tap,
+    # rgb-only feats, exact cull, tight capacity — the config a deployed
+    # renderer would use (upstream bar: >=30 fps 1080p forward)
+    cfg_r = RasterizeConfig(width=W, height=H, max_instances=max_inst,
+                            backend="auto", cull=cull,
+                            render_only=True)
+
+    @jax.jit
+    def render_only(g):
+        out = rasterize(cfg_r, g["means3d"], g["scales"], g["rotations"],
+                        g["opacities"], g["shs"], **cam_kw)
+        return out["render"]
+
+    try:
+        t0 = time.perf_counter()
+        sync(render_only(g))
+        print(f"# render-only compile {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr, flush=True)
+        t_ro, _ = timed(render_only, g)
+    except TypeError:           # older RasterizeConfig without render_only
+        t_ro = t_fwd
+
     # preprocess-only throughput (gaussians/s)
     @jax.jit
     def prep(g):
@@ -181,6 +203,7 @@ def main():
         "unit": "Mpix/s",
         "vs_baseline": round(value / baseline, 3),
         "fwd_mpix_per_s": round(mpix / t_fwd, 2),
+        "render_fps_1080p": round(1.0 / t_ro, 1),
         "preprocess_mgauss_per_s": round(N / t_prep / 1e6, 1),
         "num_rendered": int(nrend),
         "overflow": bool(ovf),

@@ -50,6 +50,10 @@ class RasterizeConfig:
     full_height: int = 0            # (0 = width/height); pair with the
                                     # pixel_offset rasterize() kwarg for
                                     # bit-exact tile-sharded slices
+    render_only: bool = False       # deployed-renderer fast path: composite
+                                    # rgb only (no depth/seg channels; alpha
+                                    # = 1 - T_final, mathematically equal to
+                                    # the composited ones channel)
 
     @property
     def grid_x(self):
@@ -122,12 +126,17 @@ def rasterize(
     # constant weight/ones column sits LAST so the pallas path can exclude it
     # from the gathered attribute table (its gradient is discarded — keeping
     # it out of gather_rows' sort+segment-sum adjoint drops one sort operand).
-    feats = [pre.rgb, pre.depths[:, None]]
-    if config.num_class > 0:
-        assert segments is not None
-        feats.append(segments)
-    feats.append(jnp.ones_like(pre.depths[:, None]))
-    feats = jnp.concatenate(feats, axis=1)
+    # render_only: rgb alone (deployed renderer — depth/seg/ones dropped;
+    # alpha comes from T_final, which the kernel emits anyway).
+    if config.render_only:
+        feats = pre.rgb
+    else:
+        feats = [pre.rgb, pre.depths[:, None]]
+        if config.num_class > 0:
+            assert segments is not None
+            feats.append(segments)
+        feats.append(jnp.ones_like(pre.depths[:, None]))
+        feats = jnp.concatenate(feats, axis=1)
 
     overflow = bins.overflow
     if backend == "pallas":
@@ -136,7 +145,7 @@ def rasterize(
             pre.means2d, pre.conic, pre.opacity, feats, bins,
             config.width, config.height,
             interpret=jax.default_backend() != "tpu",
-            const_last_feat=True,
+            const_last_feat=not config.render_only,
             grad_precision=config.grad_precision,
         )
     else:
@@ -151,14 +160,17 @@ def rasterize(
     render = chw[0:3] + T_final[None] * bg[:, None, None]
     out = {
         "render": render,
-        "depth": chw[3],
-        "alpha": chw[4 + config.num_class],
         "radii": pre.radii,
         "visibility": pre.visible,
         "overflow": overflow,
         "num_rendered": bins.num_rendered,
         "T_final": T_final,
     }
+    if config.render_only:
+        out["alpha"] = 1.0 - T_final
+        return out
+    out["depth"] = chw[3]
+    out["alpha"] = chw[4 + config.num_class]
     if config.num_class > 0:
         out["segment"] = chw[4:4 + config.num_class]
     return out

@@ -178,3 +178,27 @@ def test_exact_cull_image_and_grad_parity(rng):
     for k in g0:
         np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
                                    rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
+def test_render_only_matches_full(rng, backend):
+    """render_only=True (deployed-renderer fast path): rgb must be bit-equal
+    to the full config and alpha must equal the composited ones channel
+    (alpha == 1 - T_final identically)."""
+    cam = make_camera(64, 48)
+    g = make_gaussians(rng, n=250)
+    bg = jnp.array([0.1, 0.3, 0.2])
+
+    base = dict(width=64, height=48, max_instances=1 << 14, k_max=512,
+                backend=backend)
+    full = rasterize(RasterizeConfig(**base), g["means3d"], g["scales"],
+                     g["rotations"], g["opacities"], g["shs"],
+                     **cam_args(cam), bg=bg)
+    ro = rasterize(RasterizeConfig(render_only=True, **base), g["means3d"],
+                   g["scales"], g["rotations"], g["opacities"], g["shs"],
+                   **cam_args(cam), bg=bg)
+    np.testing.assert_array_equal(np.asarray(ro["render"]),
+                                  np.asarray(full["render"]))
+    np.testing.assert_allclose(np.asarray(ro["alpha"]),
+                               np.asarray(full["alpha"]), atol=1e-5)
+    assert "depth" not in ro and "segment" not in ro
