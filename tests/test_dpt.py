@@ -234,23 +234,89 @@ def test_state_dict_conversion(hybrid):
     assert np.isfinite(np.asarray(y)).all()
 
 
+def _torch_same_pad(x, k, s):
+    """TF 'SAME' (possibly asymmetric) padding amounts for square kernels."""
+    import torch.nn.functional as F
+    pads = []
+    for size in (x.shape[3], x.shape[2]):          # (left/right, top/bottom)
+        out = -(-size // s)
+        pad = max((out - 1) * s + k - size, 0)
+        pads += [pad // 2, pad - pad // 2]
+    return F.pad(x, pads)
+
+
+def _torch_std_conv_same(x, w, stride=1):
+    """timm StdConv2dSame: weight-standardized conv + SAME padding."""
+    import torch.nn.functional as F
+    mu = w.mean(dim=[1, 2, 3], keepdim=True)
+    var = w.var(dim=[1, 2, 3], unbiased=False, keepdim=True)
+    w = (w - mu) / torch.sqrt(var + 1e-8)
+    return F.conv2d(_torch_same_pad(x, w.shape[2], stride), w, stride=stride)
+
+
+def _torch_hybrid_backbone(sd, cfg, x_t):
+    """ResNetV2 stem + stages of the vitb_rn50 hybrid patch_embed
+    (timm resnetv2 semantics as re-specified in depth/dpt.py:233-268);
+    returns (stage0_tap, stage1_tap, stride-16 feature map)."""
+    import torch.nn.functional as F
+
+    def gn(h, prefix, act=True):
+        h = F.group_norm(h, 32, sd[prefix + ".weight"], sd[prefix + ".bias"],
+                         eps=1e-5)
+        return F.relu(h) if act else h
+
+    stem = "pretrained.model.patch_embed.backbone.stem."
+    h = _torch_std_conv_same(x_t, sd[stem + "conv.weight"], stride=2)
+    h = gn(h, stem + "norm")
+    h = F.max_pool2d(_torch_same_pad(h, 3, 2), 3, 2)
+
+    taps = []
+    for si, nblk in enumerate(cfg.rn_layers):
+        for bi in range(nblk):
+            p = (f"pretrained.model.patch_embed.backbone.stages.{si}"
+                 f".blocks.{bi}.")
+            stride = 2 if (bi == 0 and si > 0) else 1
+            if p + "downsample.conv.weight" in sd:
+                sc = _torch_std_conv_same(
+                    h, sd[p + "downsample.conv.weight"], stride=stride)
+                sc = gn(sc, p + "downsample.norm", act=False)
+            else:
+                sc = h
+            b = _torch_std_conv_same(h, sd[p + "conv1.weight"])
+            b = gn(b, p + "norm1")
+            b = _torch_std_conv_same(b, sd[p + "conv2.weight"], stride=stride)
+            b = gn(b, p + "norm2")
+            b = _torch_std_conv_same(b, sd[p + "conv3.weight"])
+            b = gn(b, p + "norm3", act=False)
+            h = F.relu(b + sc)
+        if si < 2:
+            taps.append(h)
+    return taps[0], taps[1], h
+
+
 def _torch_dpt_forward(sd, cfg, x_t):
     """Functional torch oracle: the official DPT monodepth forward computed
     directly from an official-schema state dict (semantics of
     /root/reference/DPT/dpt/vit.py:166-337 forward_flex + act_postprocess,
     blocks.py:326-383 FeatureFusionBlock_custom, models.py:26-106 heads),
-    written independently in torch.nn.functional.  Non-hybrid ViT only.
-    x_t: [N,3,H,W] with H=W=patch*grid (no pos-embed resize on this path).
+    written independently in torch.nn.functional.  Supports the plain-ViT
+    and the vitb_rn50 hybrid backbones (depth head).
+    x_t: [N,3,H,W] with grid matching pos_embed (no pos-embed resize here).
     """
     import torch.nn.functional as F
 
     C, heads = cfg.vit_dim, cfg.vit_heads
     n = x_t.shape[0]
 
-    # patch embed -> tokens (+cls, +pos)
-    tok = F.conv2d(x_t, sd["pretrained.model.patch_embed.proj.weight"],
-                   sd["pretrained.model.patch_embed.proj.bias"],
-                   stride=cfg.patch)
+    rn_tap0 = rn_tap1 = None
+    if cfg.hybrid:
+        rn_tap0, rn_tap1, h16 = _torch_hybrid_backbone(sd, cfg, x_t)
+        tok = F.conv2d(h16, sd["pretrained.model.patch_embed.proj.weight"],
+                       sd["pretrained.model.patch_embed.proj.bias"])
+    else:
+        tok = F.conv2d(x_t, sd["pretrained.model.patch_embed.proj.weight"],
+                       sd["pretrained.model.patch_embed.proj.bias"],
+                       stride=cfg.patch)
     gh, gw = tok.shape[2], tok.shape[3]
     tok = tok.flatten(2).transpose(1, 2)                       # [N,T,C]
     cls = sd["pretrained.model.cls_token"].expand(n, -1, -1)
@@ -295,8 +361,11 @@ def _torch_dpt_forward(sd, cfg, x_t):
                          stride=2, padding=1)
         return f
 
-    l1 = reassemble(1, taps[cfg.hooks[0]], "up4")
-    l2 = reassemble(2, taps[cfg.hooks[1]], "up2")
+    if cfg.hybrid:
+        l1, l2 = rn_tap0, rn_tap1
+    else:
+        l1 = reassemble(1, taps[cfg.hooks[0]], "up4")
+        l2 = reassemble(2, taps[cfg.hooks[1]], "up2")
     l3 = reassemble(3, taps[cfg.hooks[2]], "none")
     l4 = reassemble(4, taps[cfg.hooks[3]], "down2")
 
@@ -336,14 +405,17 @@ def _torch_dpt_forward(sd, cfg, x_t):
     return F.relu(y)[:, 0]
 
 
-def test_dpt_forward_matches_torch_oracle():
+@pytest.mark.parametrize("hybrid", [False, True])
+def test_dpt_forward_matches_torch_oracle(hybrid):
     """End-to-end numeric validation of convert_state_dict + dpt_forward:
     an official-key-schema checkpoint run through an independent functional
     torch implementation of the DPT monodepth forward must equal our JAX
     forward after conversion (VERDICT r1 item 5 — the strongest check
-    available without official weights in the image)."""
+    available without official weights in the image).  Covers the plain-ViT
+    (dpt_large-style) and the vitb_rn50 hybrid (dpt_hybrid, the reference's
+    default run_monodepth model)."""
     from gsplat_tpu.depth.weights import convert_state_dict
-    cfg = _small_cfg(hybrid=False)
+    cfg = _small_cfg(hybrid=hybrid)
     sd = _synth_state_dict(cfg)
     x = np.random.default_rng(7).standard_normal((2, 64, 64, 3)).astype(
         np.float32) * 0.5
