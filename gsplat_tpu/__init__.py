@@ -27,4 +27,15 @@ Layer map (mirrors SURVEY.md §1 for the reference):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("GSPLAT_PLATFORM"):
+    # Force the JAX platform for script subprocesses (e.g. CPU smoke runs
+    # of the CLI while the TPU is busy).  The axon sitecustomize selects
+    # jax_platforms="axon,cpu" via jax.config, which OUTRANKS the
+    # JAX_PLATFORMS env var — only another config.update can override it.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["GSPLAT_PLATFORM"])
+
 from gsplat_tpu.core.cameras import Camera, MiniCam  # noqa: F401

@@ -173,7 +173,12 @@ def read_intrinsics_text(path) -> Dict[int, ColmapCamera]:
 def read_extrinsics_text(path) -> Dict[int, ColmapImage]:
     imgs = {}
     with open(path) as f:
-        lines = [ln.strip() for ln in f if ln.strip() and not ln.startswith("#")]
+        # keep EMPTY lines: each image record is exactly two lines and the
+        # second (POINTS2D) line may be empty for images with no track
+        # observations — dropping blanks would shift the pairing
+        lines = [ln.strip() for ln in f if not ln.startswith("#")]
+    while lines and not lines[-1]:
+        lines.pop()
     for i in range(0, len(lines), 2):
         t = lines[i].split()
         img_id = int(t[0])

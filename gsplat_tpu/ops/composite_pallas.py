@@ -94,29 +94,68 @@ def _rev_cumsum0(x):
 
 
 def _pixel_coords(t, grid_x: int):
-    """Pixel-center coordinates of tile t as [1, 256] arrays."""
+    """Pixel-center coordinates of tile t as [1, 256] arrays, plus the
+    scalar tile origin (for tile-relative math in the MXU power path)."""
     tile_x = (t % grid_x).astype(jnp.float32)
     tile_y = (t // grid_x).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIX), 1)
-    px = tile_x * TILE_X + (lane % TILE_X).astype(jnp.float32)
-    py = tile_y * TILE_Y + (lane // TILE_X).astype(jnp.float32)
-    return px, py
+    ox = tile_x * TILE_X
+    oy = tile_y * TILE_Y
+    px = ox + (lane % TILE_X).astype(jnp.float32)
+    py = oy + (lane // TILE_X).astype(jnp.float32)
+    return px, py, (ox, oy)
 
 
-def _chunk_alpha(buf, px, py, valid):
+def _chunk_alpha(buf, px, py, valid, mxu_power=False, origin=None,
+                 need_dxy=True):
     """Alpha evaluation for one chunk from the packed attribute rows.
 
     buf: [R, K] (rows 0-1 xy, 2-4 conic, 5 opacity); px/py: [1,256];
     valid: [K,1] bool.  Returns (a [K,256] masked alpha, mask, extras).
     Rules: power>0 skip, alpha<1/255 skip, clamp at 0.99 (forward.cu:338-350).
+
+    mxu_power: evaluate the quadratic form on the MXU as ONE matmul
+    power[k,p] = Q[k,:] @ basis[:,p] with basis = (1, px, py, px^2, py^2,
+    px*py) and per-instance coefficients Q assembled from cheap [1,K] row
+    ops — replaces ~9 full [K,256] VPU ops per chunk.  All coordinates are
+    taken TILE-RELATIVE (|x| ~< a few hundred px) so the f32 matmul's
+    term cancellation stays ~1e-5 absolute in power; with ABSOLUTE 1080p
+    coordinates the px^2-scale terms reach ~1e6 and the cancellation error
+    (~3e-2 in power -> 3% in alpha) would break parity, which is why the
+    round-1 attempt at this measured as unusable (docs/PERF_NOTES.md).
+    origin: (ox, oy) scalar tile origin, required when mxu_power.
     """
-    dx = buf[0][:, None] - px          # [K,256]
-    dy = buf[1][:, None] - py
-    A = buf[2][:, None]
-    B = buf[3][:, None]
-    Cc = buf[4][:, None]
     op = buf[5][:, None]
-    power = -0.5 * (A * dx * dx + Cc * dy * dy) - B * dx * dy
+    if mxu_power:
+        ox, oy = origin
+        xr = buf[0] - ox                     # [K] tile-relative mean
+        yr = buf[1] - oy
+        A, B, Cc = buf[2], buf[3], buf[4]
+        zero = jnp.zeros_like(xr)
+        qt = jnp.stack([
+            -0.5 * (A * xr * xr + Cc * yr * yr) - B * xr * yr,
+            A * xr + B * yr,
+            Cc * yr + B * xr,
+            -0.5 * A, -0.5 * Cc, -B, zero, zero])          # [8, K]
+        pxl = px - ox                        # [1,256] tile-local pixels
+        pyl = py - oy
+        basis = jnp.concatenate([
+            jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pyl * pyl, pxl * pyl,
+            jnp.zeros_like(pxl), jnp.zeros_like(pxl)], axis=0)  # [8,256]
+        power = jax.lax.dot_general(
+            qt, basis, (((0,), (0,)), ((), ())), precision=_HI)  # [K,256]
+        if need_dxy:
+            dx = xr[:, None] - pxl
+            dy = yr[:, None] - pyl
+        else:
+            dx = dy = None
+    else:
+        dx = buf[0][:, None] - px          # [K,256]
+        dy = buf[1][:, None] - py
+        A = buf[2][:, None]
+        B = buf[3][:, None]
+        Cc = buf[4][:, None]
+        power = -0.5 * (A * dx * dx + Cc * dy * dy) - B * dx * dy
     G = jnp.exp(power)
     raw = op * G
     alpha = jnp.minimum(ALPHA_MAX, raw)
@@ -129,7 +168,7 @@ def _chunk_alpha(buf, px, py, valid):
 ATTR_BASE = 6
 
 
-def _forward_kernel(grid_x: int, C: int, R: int,
+def _forward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
                     ranges_ref, attr_ref, img_ref,
                     buf, sems):
     # img_ref packs [C composited channels; T_final; n_contrib] as C+2 rows
@@ -138,7 +177,7 @@ def _forward_kernel(grid_x: int, C: int, R: int,
     chunk0 = ranges_ref[t % 8, 0]    # first chunk index of this tile
     count = ranges_ref[t % 8, 1]
     nchunks = (count + CHUNK - 1) // CHUNK
-    px, py = _pixel_coords(t, grid_x)
+    px, py, origin = _pixel_coords(t, grid_x)
 
     def dma(slot, c):
         return pltpu.make_async_copy(attr_ref.at[chunk0 + c],
@@ -170,7 +209,8 @@ def _forward_kernel(grid_x: int, C: int, R: int,
             k_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
             pos = c * CHUNK + k_idx          # 0-based position in tile list
             valid = pos < count
-            a, mask, _ = _chunk_alpha(buf[slot], px, py, valid)
+            a, mask, _ = _chunk_alpha(buf[slot], px, py, valid,
+                                      mxu_power, origin, need_dxy=False)
             done = T < 0.0
             Tv = jnp.abs(T)
             a = jnp.where(mask & ~done, a, 0.0)
@@ -223,7 +263,7 @@ def _forward_kernel(grid_x: int, C: int, R: int,
         [acc, jnp.abs(T), nc.astype(jnp.float32)], axis=0)
 
 
-def _backward_kernel(grid_x: int, C: int, R: int,
+def _backward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
                      ranges_ref, attr_ref, fwd_ref, dpk_ref,
                      dattr_ref,
                      buf, dbuf, sems, osems):
@@ -237,7 +277,7 @@ def _backward_kernel(grid_x: int, C: int, R: int,
     # reconstruction stays exact: skipped instances have a_eff = 0, so
     # T_final is already the transmittance entering the last kept chunk.
     nchunks = ranges_ref[t % 8, 2]
-    px, py = _pixel_coords(t, grid_x)
+    px, py, origin = _pixel_coords(t, grid_x)
 
     n_contrib = fwd_ref[0, C + 1][None, :]   # [1,256] float positions (exact)
     T_final = fwd_ref[0, C][None, :]         # [1,256]
@@ -273,7 +313,8 @@ def _backward_kernel(grid_x: int, C: int, R: int,
         k_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
         pos = c * CHUNK + k_idx
         valid = pos < count
-        a, mask, (dx, dy, G, raw) = _chunk_alpha(buf[slot], px, py, valid)
+        a, mask, (dx, dy, G, raw) = _chunk_alpha(buf[slot], px, py,
+                                                 valid, mxu_power, origin)
         contrib = mask & ((pos + 1).astype(jnp.float32) <= n_contrib)
         a_eff = jnp.where(contrib, a, 0.0)
         one_m = 1.0 - a_eff
@@ -367,8 +408,8 @@ def _composite_core(static, attr, ranges):
 
 
 def _pallas_forward(static, attr, ranges):
-    grid_x, num_tiles, C, R, NCH, interpret = static
-    kernel = functools.partial(_forward_kernel, grid_x, C, R)
+    grid_x, num_tiles, C, R, NCH, interpret, mxu_power = static
+    kernel = functools.partial(_forward_kernel, grid_x, C, R, mxu_power)
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -394,9 +435,9 @@ def _composite_fwd(static, attr, ranges):
 
 
 def _composite_bwd(static, res, d_packed):
-    grid_x, num_tiles, C, R, NCH, interpret = static
+    grid_x, num_tiles, C, R, NCH, interpret, mxu_power = static
     attr, ranges, packed = res
-    kernel = functools.partial(_backward_kernel, grid_x, C, R)
+    kernel = functools.partial(_backward_kernel, grid_x, C, R, mxu_power)
 
     # Per-tile chunk limit: the last contributing instance position is
     # max_pix n_contrib (packed row C+1); chunks past it carry zero gradient
@@ -450,7 +491,8 @@ _composite_core.defvjp(_composite_fwd, _composite_bwd)
 def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
                      height: int, interpret: bool = False,
                      const_last_feat: bool = False,
-                     grad_precision: str = "f32"):
+                     grad_precision: str = "f32",
+                     mxu_power: bool = False):
     """Tiled Pallas compositor:
     returns (img [C,H,W] pre-background, T_final [H,W], overflow []).
 
@@ -501,7 +543,7 @@ def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
     if pad_rows:
         ranges = jnp.pad(ranges, ((0, pad_rows), (0, 0)))
 
-    static = (grid_x, num_tiles, C, R, NCH, interpret)
+    static = (grid_x, num_tiles, C, R, NCH, interpret, mxu_power)
     packed = _composite_core(static, attr, jax.lax.stop_gradient(ranges))
 
     # ONE fused 5D transpose unpacks every channel (composited C + T_final)

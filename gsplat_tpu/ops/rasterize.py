@@ -54,6 +54,10 @@ class RasterizeConfig:
                                     # rgb only (no depth/seg channels; alpha
                                     # = 1 - T_final, mathematically equal to
                                     # the composited ones channel)
+    mxu_power: bool = False         # evaluate the per-chunk quadratic form
+                                    # on the MXU (tile-relative basis matmul)
+                                    # instead of VPU elementwise — see
+                                    # composite_pallas._chunk_alpha
 
     @property
     def grid_x(self):
@@ -147,6 +151,7 @@ def rasterize(
             interpret=jax.default_backend() != "tpu",
             const_last_feat=not config.render_only,
             grad_precision=config.grad_precision,
+            mxu_power=config.mxu_power,
         )
     else:
         from gsplat_tpu.ops.composite_tiled import composite_tiled

@@ -107,3 +107,29 @@ def test_qvec_roundtrip(rng):
     R = colmap.qvec2rotmat(q)
     q2 = colmap.rotmat2qvec(R)
     np.testing.assert_allclose(q2, q, atol=1e-6)
+
+
+def test_extrinsics_text_roundtrip_empty_points(tmp_path):
+    """write_extrinsics_text emits an EMPTY POINTS2D line per image (legal
+    COLMAP for images with no track observations); the reader must keep the
+    two-line pairing instead of collapsing blank lines (regression: the
+    quality-scene generator's images.txt failed to parse)."""
+    import numpy as np
+    from gsplat_tpu.data import colmap as colmap_lib
+
+    imgs = {}
+    for i in (1, 2, 3):
+        q = np.array([1.0, 0.0, 0.0, 0.0])
+        t = np.array([0.1 * i, -0.2, 3.0])
+        imgs[i] = colmap_lib.ColmapImage(
+            id=i, qvec=q, tvec=t, camera_id=1, name=f"im_{i}.png",
+            xys=np.zeros((0, 2)), point3D_ids=np.zeros(0, int))
+    path = tmp_path / "images.txt"
+    colmap_lib.write_extrinsics_text(str(path), imgs)
+    back = colmap_lib.read_extrinsics_text(str(path))
+    assert sorted(back) == [1, 2, 3]
+    for i in (1, 2, 3):
+        np.testing.assert_allclose(back[i].qvec, imgs[i].qvec)
+        np.testing.assert_allclose(back[i].tvec, imgs[i].tvec)
+        assert back[i].name == f"im_{i}.png"
+        assert back[i].xys.shape == (0, 2)

@@ -132,3 +132,35 @@ def test_pallas_gradients_multichunk_termination(rng):
         scale = np.abs(b).max() + 1e-12
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-3,
                                    err_msg=f"grad mismatch for {k}")
+
+
+def test_mxu_power_forward_and_grad_parity(rng):
+    """mxu_power=True (quadratic form as a tile-relative basis matmul on the
+    MXU) must match the VPU elementwise path closely in both the image and
+    the input gradients — the tile-relative formulation bounds the matmul's
+    cancellation error to ~1e-5 in power (see _chunk_alpha docstring)."""
+    cam = make_camera(64, 48)
+    g = make_gaussians(rng, n=300)
+    bg = jnp.array([0.2, 0.4, 0.1])
+
+    base = dict(width=64, height=48, max_instances=1 << 14, backend="pallas")
+    out_v = _run(RasterizeConfig(**base), g, cam, bg)
+    out_m = _run(RasterizeConfig(mxu_power=True, **base), g, cam, bg)
+    np.testing.assert_allclose(np.asarray(out_m["render"]),
+                               np.asarray(out_v["render"]), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out_m["depth"]),
+                               np.asarray(out_v["depth"]), atol=5e-4)
+
+    def loss(means3d, opac, cfg):
+        out = rasterize(cfg, means3d, g["scales"], g["rotations"], opac,
+                        g["shs"], **cam_args(cam), bg=bg)
+        return jnp.sum(out["render"] * jnp.cos(out["render"])) + \
+            0.3 * jnp.sum(out["depth"])
+
+    gv = jax.grad(loss, argnums=(0, 1))(
+        g["means3d"], g["opacities"], RasterizeConfig(**base))
+    gm = jax.grad(loss, argnums=(0, 1))(
+        g["means3d"], g["opacities"], RasterizeConfig(mxu_power=True, **base))
+    for a, b in zip(gm, gv):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
