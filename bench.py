@@ -192,7 +192,10 @@ def main():
     # preprocess is ~0.4 ms — the same order as the dispatch baseline, so
     # use many iterations per sync to keep the subtraction meaningful
     t_prep, _ = timed(prep, g, iters=100)
-    t_prep = max(t_prep, 1e-5)
+    # dispatch-baseline subtraction can swallow the whole measurement on a
+    # jittery tunnel; clamp to the kernel's own floor (~0.2 ms measured)
+    # rather than reporting a nonsense rate
+    t_prep = max(t_prep, 2e-4)
 
     mpix = W * H / 1e6
     value = mpix / t_fb
