@@ -483,7 +483,15 @@ class Trainer:
                         # a compile still in flight, keep training at the
                         # current capacity — the overflow flag guards
                         # correctness until the compile lands.
-                        self._resize_capacity(int(nr * 1.4) + pads)
+                        # On OVERFLOW grow geometrically (>= 2x current):
+                        # explosive densification (capacity doubling faster
+                        # than a step compiles) would otherwise stall at
+                        # every doubling; larger jumps amortize the stalls
+                        # logarithmically.
+                        needed = int(nr * 1.4) + pads
+                        if overflow:
+                            needed = max(needed, 2 * self.max_instances)
+                        self._resize_capacity(needed)
                         print(f"[it {it}] instance capacity -> "
                               f"{self.max_instances}")
                 elif nr + pads < 0.5 * self.max_instances and \
@@ -502,6 +510,7 @@ class Trainer:
             if it < opt.densify_until_iter:
                 if (it > opt.densify_from_iter
                         and it % opt.densification_interval == 0):
+                    alive_before = m.num_alive
                     size_thr = 20.0 if it > opt.opacity_reset_interval else 0.0
                     m.params, m.aux, m.opt_state, dstats = densify_and_prune(
                         m.params, m.aux, m.opt_state, k2,
@@ -512,6 +521,25 @@ class Trainer:
                     if bool(dstats.n_dropped):
                         print(f"[it {it}] WARNING: {int(dstats.n_dropped)} "
                               "densify targets dropped (capacity full)")
+                    # densification changes instance demand STEPWISE (the
+                    # next render's nr scales ~ alive growth) — the 72%
+                    # log-tick prewarm can be jumped right past, so predict
+                    # here and start the background compile immediately
+                    alive_after = m.num_alive
+                    if (alive_before and alive_after > alive_before
+                            and self._example_args is not None):
+                        growth = alive_after / alive_before
+                        last_nr = int(metrics["num_rendered"])
+                        predicted = int(last_nr * growth)
+                        pads = 64 * self._cfg(0).grid_x * self._cfg(0).grid_y
+                        if predicted + pads > 0.72 * self.max_instances:
+                            blk = 1 << 17
+                            target = max(
+                                self.max_instances + blk,
+                                (int(predicted * 1.4) + pads + blk - 1)
+                                // blk * blk)
+                            self._precompile_async(m.active_sh_degree,
+                                                   target)
                 if it % opt.opacity_reset_interval == 0:
                     m.params, m.opt_state = reset_opacity(
                         m.params, m.aux, m.opt_state)
