@@ -179,7 +179,7 @@ def main():
               file=sys.stderr, flush=True)
         t_ro, _ = timed(render_only, g)
     except TypeError:           # older RasterizeConfig without render_only
-        t_ro = t_fwd
+        t_ro = None             # don't mislabel the full fwd as render-only
 
     # preprocess-only throughput (gaussians/s)
     @jax.jit
@@ -206,7 +206,8 @@ def main():
         "unit": "Mpix/s",
         "vs_baseline": round(value / baseline, 3),
         "fwd_mpix_per_s": round(mpix / t_fwd, 2),
-        "render_fps_1080p": round(1.0 / t_ro, 1),
+        f"render_fps_{H}p": (round(1.0 / t_ro, 1)
+                             if t_ro is not None else None),
         "preprocess_mgauss_per_s": round(N / t_prep / 1e6, 1),
         "num_rendered": int(nrend),
         "overflow": bool(ovf),

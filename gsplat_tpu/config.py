@@ -14,28 +14,27 @@ from argparse import ArgumentParser, Namespace
 
 
 class ParamGroup:
+    """Declarative flag groups: a subclass's __init__ assigns instance
+    attributes (its config schema + defaults) and then calls super().__init__,
+    which registers one ``--<attr>`` argument per attribute.  An attribute
+    named with a leading underscore also gets the one-letter ``-<a>``
+    shorthand (CLI contract of the reference's arguments/__init__.py group
+    classes).  Bools are store_true flags; everything else is typed from its
+    default.  ``fill_none`` registers every default as None so ``extract``
+    can distinguish "given on this CLI" from "absent" when merging with a
+    saved cfg_args."""
+
     def __init__(self, parser: ArgumentParser, name: str, fill_none=False):
         group = parser.add_argument_group(name)
-        for key, value in vars(self).items():
-            shorthand = False
-            if key.startswith("_"):
-                shorthand = True
-                key = key[1:]
-            t = type(value)
-            value = value if not fill_none else None
-            if shorthand:
-                if t == bool:
-                    group.add_argument(f"--{key}", ("-" + key[0:1]),
-                                       default=value, action="store_true")
-                else:
-                    group.add_argument(f"--{key}", ("-" + key[0:1]),
-                                       default=value, type=t)
+        for attr, default in vars(self).items():
+            flag = attr[1:] if attr.startswith("_") else attr
+            names = [f"--{flag}"] + ([f"-{flag[0]}"] if attr != flag else [])
+            spec = {"default": None if fill_none else default}
+            if isinstance(default, bool):
+                spec["action"] = "store_true"
             else:
-                if t == bool:
-                    group.add_argument(f"--{key}", default=value,
-                                       action="store_true")
-                else:
-                    group.add_argument(f"--{key}", default=value, type=t)
+                spec["type"] = type(default)
+            group.add_argument(*names, **spec)
 
     def extract(self, args) -> Namespace:
         group = Namespace()

@@ -173,26 +173,31 @@ def read_intrinsics_text(path) -> Dict[int, ColmapCamera]:
 def read_extrinsics_text(path) -> Dict[int, ColmapImage]:
     imgs = {}
     with open(path) as f:
-        # keep EMPTY lines: each image record is exactly two lines and the
-        # second (POINTS2D) line may be empty for images with no track
-        # observations — dropping blanks would shift the pairing
-        lines = [ln.strip() for ln in f if not ln.startswith("#")]
-    while lines and not lines[-1]:
-        lines.pop()
-    for i in range(0, len(lines), 2):
+        lines = [ln.strip() for ln in f]
+    # Each record is an image line followed unconditionally by one POINTS2D
+    # line (which may be EMPTY for images without track observations).  Skip
+    # blank/comment lines only when LOOKING FOR an image line — that way a
+    # stray blank between records (which COLMAP's own parser tolerates)
+    # cannot shift the pairing, while an empty POINTS2D line directly after
+    # an image line is still consumed as that record's second line.
+    i = 0
+    while i < len(lines):
+        if not lines[i] or lines[i].startswith("#"):
+            i += 1
+            continue
         t = lines[i].split()
         img_id = int(t[0])
         qvec = np.array([float(x) for x in t[1:5]])
         tvec = np.array([float(x) for x in t[5:8]])
         cam_id = int(t[8])
         name = t[9]
-        if i + 1 < len(lines):
-            e = lines[i + 1].split()
-            xys = np.array([float(v) for v in e]).reshape(-1, 3)[:, :2] if e else np.zeros((0, 2))
-            ids = np.array([int(float(v)) for v in e[2::3]]) if e else np.zeros(0, np.int64)
-        else:
-            xys, ids = np.zeros((0, 2)), np.zeros(0, np.int64)
+        e = lines[i + 1].split() if i + 1 < len(lines) else []
+        xys = (np.array([float(v) for v in e]).reshape(-1, 3)[:, :2]
+               if e else np.zeros((0, 2)))
+        ids = (np.array([int(float(v)) for v in e[2::3]])
+               if e else np.zeros(0, np.int64))
         imgs[img_id] = ColmapImage(img_id, qvec, tvec, cam_id, name, xys, ids)
+        i += 2
     return imgs
 
 

@@ -162,7 +162,14 @@ def _chunk_alpha(buf, px, py, valid, mxu_power=False, origin=None,
     G = jnp.exp2(power * 1.4426950408889634)
     raw = op * G
     alpha = jnp.minimum(ALPHA_MAX, raw)
-    mask = valid & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    # power > 0 never happens for a PSD conic mathematically — the test is a
+    # guard (forward.cu:351).  On the MXU path the matmul's ~1e-5 term
+    # cancellation can push exact-zero powers slightly positive (near the
+    # peak of large flat gaussians), so give that path a small positive
+    # tolerance instead of spuriously culling near-center pixels (alpha is
+    # clamped anyway; exp2 of +1e-4 is a 7e-5 relative error).
+    power_cut = 1e-4 if mxu_power else 0.0
+    mask = valid & (power <= power_cut) & (alpha >= ALPHA_MIN)
     a = jnp.where(mask, alpha, 0.0)
     return a, mask, (dx, dy, G, raw)
 

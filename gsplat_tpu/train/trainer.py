@@ -265,6 +265,7 @@ class Trainer:
         # one, so the swap is stall-free (VERDICT r1 item 6)
         self._pending = {}           # (sh, model_cap, max_inst) -> holder
         self._example_args = None
+        self._last_metrics = None    # (metrics, max_instances at dispatch)
 
     def _build_step(self, sh_degree, max_instances):
         if self.data_parallel:
@@ -312,6 +313,18 @@ class Trainer:
                               name=f"precompile-{sh_degree}-{max_instances}")
         holder["thread"] = th
         th.start()
+
+    def _pending_inflight_covers(self, sh_degree, needed: int) -> bool:
+        """True if a background compile is IN FLIGHT that, once finished, can
+        actually be adopted for the projected demand (same sh_degree and
+        model capacity, instance capacity >= needed).  Growth is only
+        deferred on such a compile — waiting on a mismatched one (different
+        sh or too small) could never pay off."""
+        for (sh, mcap, mi), h in self._pending.items():
+            if ("exe" not in h and "err" not in h and sh == sh_degree
+                    and mcap == self.model.capacity and mi >= needed):
+                return True
+        return False
 
     def _try_adopt_pending(self, sh_degree, needed: int) -> bool:
         """If a finished background compile covers >= needed instances,
@@ -436,9 +449,14 @@ class Trainer:
             step = self._step_fn(m.active_sh_degree)
             m.params, m.opt_state, m.aux, metrics = step(
                 m.params, m.opt_state, m.aux, batch, lrs, k1)
-            if self._example_args is None:
-                self._example_args = (m.params, m.opt_state, m.aux, batch,
-                                      lrs, k1)
+            # avals only: fn.lower() needs shapes/dtypes, not live buffers —
+            # pinning concrete arrays here held a params+opt_state worth of
+            # HBM for the whole run.  Refreshed every step so background
+            # compiles always see the current capacity's shapes.
+            self._example_args = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                               jnp.result_type(x)),
+                (m.params, m.opt_state, m.aux, batch, lrs, k1))
             # compile-ahead for the next SH-degree bump (every 1000 iters,
             # loop top): start the background compile ~100 iters early
             if (it % 1000 >= 900 and m.active_sh_degree < m.max_sh_degree
@@ -446,63 +464,21 @@ class Trainer:
                 self._precompile_async(m.active_sh_degree + 1,
                                        self.max_instances)
 
+            # capacity management every iteration on the PREVIOUS step's
+            # metrics — by dispatch order that step has already executed, so
+            # the two scalar readbacks don't break dispatch pipelining.
+            # (Log-tick-only checks let an overflow silently degrade
+            # gradients for up to log_every-1 steps.)  Metrics from a step
+            # dispatched before the last resize are stale — skipped.
+            prev = self._last_metrics
+            self._last_metrics = (metrics, self.max_instances)
+            if prev is not None and prev[1] == self.max_instances:
+                self._manage_capacity(it, int(prev[0]["num_rendered"]),
+                                      bool(prev[0]["overflow"]))
+
             if it % log_every == 0 or it == iterations:
                 loss = float(metrics["loss"])
                 self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
-                # densification grows instance demand; regrow the fixed
-                # capacity (recompile) BEFORE overflow corrupts a step —
-                # and recover immediately if one did overflow
-                nr = int(metrics["num_rendered"])
-                pads = 64 * self._cfg(0).grid_x * self._cfg(0).grid_y
-                overflow = bool(metrics["overflow"])
-                if not overflow and (
-                        0.72 * self.max_instances < nr + pads
-                        <= 0.9 * self.max_instances):
-                    # densification is approaching the capacity ceiling —
-                    # compile the grown step in the background NOW so the
-                    # 90% trigger below swaps without a stall
-                    blk = 1 << 17
-                    target = max(self.max_instances + blk,
-                                 (int(nr * 1.4) + pads + blk - 1)
-                                 // blk * blk)
-                    self._precompile_async(m.active_sh_degree, target)
-                if overflow or nr + pads > 0.9 * self.max_instances:
-                    if overflow:
-                        print(f"[it {it}] WARNING: instance capacity "
-                              f"overflow ({nr} rendered) — regrowing")
-                    if self._try_adopt_pending(m.active_sh_degree,
-                                               int(nr * 1.4) + pads):
-                        print(f"[it {it}] instance capacity -> "
-                              f"{self.max_instances} (precompiled, "
-                              "stall-free)")
-                    elif overflow or not any(
-                            "exe" not in h and "err" not in h
-                            for h in self._pending.values()):
-                        # no background compile running/usable: grow now
-                        # (synchronous compile). On a mere 90% trigger with
-                        # a compile still in flight, keep training at the
-                        # current capacity — the overflow flag guards
-                        # correctness until the compile lands.
-                        # On OVERFLOW grow geometrically (>= 2x current):
-                        # explosive densification (capacity doubling faster
-                        # than a step compiles) would otherwise stall at
-                        # every doubling; larger jumps amortize the stalls
-                        # logarithmically.
-                        needed = int(nr * 1.4) + pads
-                        if overflow:
-                            needed = max(needed, 2 * self.max_instances)
-                        self._resize_capacity(needed)
-                        print(f"[it {it}] instance capacity -> "
-                              f"{self.max_instances}")
-                elif nr + pads < 0.5 * self.max_instances and \
-                        self.max_instances > (1 << 18):
-                    # shrink toward ~60% utilization (wide hysteresis vs the
-                    # 90% grow trigger so per-camera variation can't thrash)
-                    # — matters when cull='exact' renders far fewer
-                    # instances than the rect-based initial sizing
-                    self._resize_capacity(int(nr * 1.6) + pads)
-                    print(f"[it {it}] instance capacity shrunk -> "
-                          f"{self.max_instances}")
                 if callback:
                     callback(it, metrics, self)
 
@@ -555,10 +531,64 @@ class Trainer:
                 self.report_test(it)
         return time.time() - t_start
 
+    def _manage_capacity(self, it, nr: int, overflow: bool):
+        """Densification grows instance demand; regrow the fixed capacity
+        (recompile) BEFORE overflow corrupts a step — and recover immediately
+        if one did overflow."""
+        m = self.model
+        pads = 64 * self._cfg(0).grid_x * self._cfg(0).grid_y
+        if not overflow and (
+                0.72 * self.max_instances < nr + pads
+                <= 0.9 * self.max_instances):
+            # densification is approaching the capacity ceiling — compile
+            # the grown step in the background NOW so the 90% trigger below
+            # swaps without a stall
+            blk = 1 << 17
+            target = max(self.max_instances + blk,
+                         (int(nr * 1.4) + pads + blk - 1) // blk * blk)
+            self._precompile_async(m.active_sh_degree, target)
+        if overflow or nr + pads > 0.9 * self.max_instances:
+            needed = int(nr * 1.4) + pads
+            if overflow:
+                print(f"[it {it}] WARNING: instance capacity "
+                      f"overflow ({nr} rendered) — regrowing")
+            if self._try_adopt_pending(m.active_sh_degree, needed):
+                print(f"[it {it}] instance capacity -> "
+                      f"{self.max_instances} (precompiled, stall-free)")
+            elif overflow or not self._pending_inflight_covers(
+                    m.active_sh_degree, needed):
+                # No adoptable background compile running: grow now
+                # (synchronous compile).  On a mere 90% trigger with a
+                # MATCHING compile still in flight, keep training at the
+                # current capacity — the overflow flag guards correctness
+                # until that compile lands.  On OVERFLOW grow geometrically
+                # (>= 2x current): explosive densification (capacity
+                # doubling faster than a step compiles) would otherwise
+                # stall at every doubling; larger jumps amortize the stalls
+                # logarithmically.
+                if overflow:
+                    needed = max(needed, 2 * self.max_instances)
+                self._resize_capacity(needed)
+                print(f"[it {it}] instance capacity -> {self.max_instances}")
+        elif nr + pads < 0.5 * self.max_instances and \
+                self.max_instances > (1 << 18):
+            # shrink toward ~60% utilization (wide hysteresis vs the 90%
+            # grow trigger so per-camera variation can't thrash) — matters
+            # when cull='exact' renders far fewer instances than the
+            # rect-based initial sizing
+            self._resize_capacity(int(nr * 1.6) + pads)
+            print(f"[it {it}] instance capacity shrunk -> "
+                  f"{self.max_instances}")
+
     def report_test(self, it):
         """Periodic eval over the test split AND a 5-camera train sample,
         mirroring the reference's training_report (train.py:227-253: it
-        always evaluates idx*5%len train cameras even without --eval)."""
+        always evaluates idx*5%len train cameras even without --eval).
+        Results are appended to <model_path>/eval_log.jsonl so the 7k/30k
+        protocol numbers are machine-recoverable from any training run
+        (the reference only sends them to TensorBoard, train.py:245-249)."""
+        import json
+
         from gsplat_tpu.renderer import render as render_fn
         train_cams = self.scene.getTrainCameras()
         configs = [("test", self.scene.getTestCameras()),
@@ -566,6 +596,7 @@ class Trainer:
                               for idx in range(5, 30, 5)] if train_cams
                     else [])]
         result = None
+        records = []
         for name, cams in configs:
             if not cams:
                 continue
@@ -580,6 +611,14 @@ class Trainer:
                 psnrs.append(float(L.psnr(img, gt)))
             print(f"\n[ITER {it}] Evaluating {name}: L1 {np.mean(l1s):.4f} "
                   f"PSNR {np.mean(psnrs):.2f}")
+            records.append({"iter": it, "split": name, "n_cams": len(cams),
+                            "l1": float(np.mean(l1s)),
+                            "psnr": float(np.mean(psnrs))})
             if result is None:
                 result = float(np.mean(psnrs))
+        if self.model_path and records:
+            with open(os.path.join(self.model_path, "eval_log.jsonl"),
+                      "a") as f:
+                for r in records:
+                    f.write(json.dumps(r) + "\n")
         return result

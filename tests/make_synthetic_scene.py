@@ -15,6 +15,15 @@ import numpy as np
 
 def make_scene(out_dir: str, n_gauss=300, n_cams=8, width=64, height=64,
                num_class=0, with_depth=False, seed=0):
+    # Scene generation is tiny CPU work — force it off the TPU: the axon
+    # sitecustomize hard-selects the axon platform (outranking JAX_PLATFORMS)
+    # and the O(P*pixels) oracle compositor is pathological over the tunnel.
+    import jax
+    if not jax.config.jax_platforms or "axon" in str(jax.config.jax_platforms):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass                    # backend already initialized — leave it
     import jax.numpy as jnp
     from PIL import Image
 

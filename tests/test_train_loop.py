@@ -186,7 +186,14 @@ def test_compile_ahead_capacity_swap(synth_scene, tmp_path):
     assert key not in tr._pending
 
     # the adopted executable must match a freshly-jitted step bit-for-bit
-    params, opt_state, aux, batch, lrs, k1 = tr._example_args
+    # (_example_args holds avals only — build concrete args from live state)
+    import jax.numpy as jnp
+
+    from gsplat_tpu.train.trainer import camera_batch
+    params, opt_state, aux = m.params, m.opt_state, m.aux
+    batch = camera_batch(scene.getTrainCameras()[0])
+    lrs = {k: jnp.float32(v) for k, v in tr.lr_fn(3).items()}
+    k1 = jax.random.PRNGKey(7)
     exe_out = tr._steps[key](params, opt_state, aux, batch, lrs, k1)
     jit_out = tr._build_step(sh, target)(params, opt_state, aux, batch,
                                          lrs, k1)
