@@ -115,6 +115,9 @@ class PerformanceParams(ParamGroup):
         self.max_instances = 0       # tile-instance capacity (0 = auto)
         self.backend = "auto"        # auto | jnp | pallas
         self.data_parallel = 1       # cameras per step = device count
+        self.tile_parallel = 1       # tile-row slices per camera; combine
+                                     # with data_parallel for an (M, N)
+                                     # data x tile mesh
         self.profile_dir = ""        # jax.profiler trace output dir
         self.grad_precision = "bf16"  # bf16 | f32 per-instance grad rows
         self.cull = "none"           # none | exact ellipse-tile culling

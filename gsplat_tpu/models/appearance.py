@@ -89,10 +89,20 @@ class AppearanceOptimizer:
         self.params, self.opt_state = adam.update(
             grads, self.opt_state, self.params, lrs)
 
-    def save(self, path: str):
+    def save(self, path: str, with_opt: bool = False):
+        """Model state beside the PLY (reference save_appearance_embedding,
+        gaussian_renderer/__init__.py:163-170); ``with_opt`` additionally
+        captures Adam moments for exact training resume (the reference's
+        .ckpt stores model state only)."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        np.savez(path, **{k: np.asarray(v)
-                          for k, v in self.params._asdict().items()})
+        arrays = {k: np.asarray(v) for k, v in self.params._asdict().items()}
+        if with_opt:
+            arrays["opt_count"] = np.asarray(self.opt_state.count)
+            for k, v in self.opt_state.mu._asdict().items():
+                arrays[f"mu_{k}"] = np.asarray(v)
+            for k, v in self.opt_state.nu._asdict().items():
+                arrays[f"nu_{k}"] = np.asarray(v)
+        np.savez(path, **arrays)
 
     def load(self, path: str) -> bool:
         if not os.path.exists(path):
@@ -101,5 +111,13 @@ class AppearanceOptimizer:
         z = np.load(path)
         self.params = AppearanceParams(
             **{k: jnp.asarray(z[k]) for k in AppearanceParams._fields})
-        self.opt_state = adam.init(self.params)
+        if "opt_count" in z.files:
+            self.opt_state = adam.AdamState(
+                count=jnp.asarray(z["opt_count"]),
+                mu=AppearanceParams(**{k: jnp.asarray(z[f"mu_{k}"])
+                                       for k in AppearanceParams._fields}),
+                nu=AppearanceParams(**{k: jnp.asarray(z[f"nu_{k}"])
+                                       for k in AppearanceParams._fields}))
+        else:
+            self.opt_state = adam.init(self.params)
         return True

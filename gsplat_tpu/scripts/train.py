@@ -134,7 +134,17 @@ def main(argv=None):
         gui_source_path=gui_source,
         grad_precision=getattr(args, "grad_precision", "bf16"),
         cull=getattr(args, "cull", "none"),
-        data_parallel=getattr(args, "data_parallel", 1))
+        data_parallel=getattr(args, "data_parallel", 1),
+        tile_parallel=getattr(args, "tile_parallel", 1),
+        use_appearance=dataset.able_appearance_embedding)
+    if dataset.able_appearance_embedding and args.start_checkpoint:
+        # resume the appearance state saved beside the gaussian checkpoint
+        app_ckpt = os.path.join(
+            os.path.dirname(args.start_checkpoint) or ".",
+            "appearance_chkpnt" + os.path.basename(args.start_checkpoint)
+            .removeprefix("chkpnt"))
+        if trainer.appearance.load(app_ckpt):
+            print(f"Resumed appearance embedding from {app_ckpt}")
 
     metrics_log = open(os.path.join(args.model_path, "train_log.jsonl"), "a")
 

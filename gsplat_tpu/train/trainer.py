@@ -195,7 +195,7 @@ class Trainer:
                  depth_loss_choice=None, use_seg=False, backend="auto",
                  max_instances=0, seed=0, model_path=None,
                  gui_source_path=None, grad_precision="bf16", cull="none",
-                 data_parallel=1):
+                 data_parallel=1, use_appearance=False, tile_parallel=1):
         # grad_precision: per-instance gradient rows rounded to bf16 before
         # the exact f32 per-gaussian sum (halves the reduce-sort payload,
         # ~0.2% relative rounding on individual terms — the training
@@ -216,20 +216,45 @@ class Trainer:
         self.model_path = model_path
         cams = scene.getTrainCameras()
         W, H = cams[0].image_width, cams[0].image_height
+        self.appearance = None
+        if use_appearance:
+            # per-camera learned RGB factors jointly optimized with the
+            # gaussians (reference train.py:42-44,100-104,188-190)
+            from gsplat_tpu.models.appearance import AppearanceOptimizer
+            if (data_parallel and data_parallel != 1) or tile_parallel > 1:
+                raise ValueError("appearance embedding + "
+                                 "data/tile parallelism is not supported "
+                                 "(the reference is single-GPU only here)")
+            n_uid = max((getattr(c, "uid", 0) for c in cams), default=0) + 1
+            self.appearance = AppearanceOptimizer(max(n_uid, len(cams)))
         self.mesh = None
         self.data_parallel = 0
+        self.tile_parallel = tile_parallel if tile_parallel > 1 else 0
+        if self.tile_parallel and H % (16 * self.tile_parallel) != 0:
+            raise ValueError(
+                f"--tile_parallel {self.tile_parallel} needs the image "
+                f"height ({H}) to split into whole 16-px tile rows per "
+                "device")
         if data_parallel and data_parallel != 1:
-            ndev = (len(jax.devices()) if data_parallel < 0
-                    else min(data_parallel, len(jax.devices())))
+            navail = len(jax.devices()) // max(1, self.tile_parallel)
+            ndev = (navail if data_parallel < 0
+                    else min(data_parallel, navail))
             if ndev > 1:
-                from gsplat_tpu.parallel.data_parallel import make_data_mesh
                 bad = [c for c in cams
                        if (c.image_width, c.image_height) != (W, H)]
                 if bad:
                     raise ValueError(
                         "--data_parallel requires a uniform camera "
                         f"resolution; got {len(bad)} cameras != {W}x{H}")
-                self.mesh = make_data_mesh(ndev)
+                if self.tile_parallel:
+                    # composed (M, N) data x tile mesh (BASELINE config 5)
+                    from gsplat_tpu.parallel.mesh2d import make_2d_mesh
+                    self.mesh = make_2d_mesh(ndev, self.tile_parallel)
+                else:
+                    from gsplat_tpu.parallel.data_parallel import (
+                        make_data_mesh,
+                    )
+                    self.mesh = make_data_mesh(ndev)
                 self.data_parallel = ndev
                 # multi-host: this process feeds only its local devices;
                 # the ShardedCameraSampler keeps all processes' shuffles
@@ -238,10 +263,16 @@ class Trainer:
                 self.n_procs = jax.process_count()
                 self.proc_idx = jax.process_index()
                 self._sampler = None
-                print(f"[parallel] data-parallel over {ndev} devices, "
-                      f"{self.n_procs} process(es) "
-                      f"({ndev} cameras per global step, grads pmean over "
-                      "ICI/DCN)")
+                print(f"[parallel] {ndev} camera(s) x "
+                      f"{max(1, self.tile_parallel)} tile slice(s) per "
+                      f"step over {ndev * max(1, self.tile_parallel)} "
+                      f"devices, {self.n_procs} process(es)")
+        if self.tile_parallel and not self.data_parallel:
+            from gsplat_tpu.parallel.tile_parallel import make_tile_mesh
+            self.mesh = make_tile_mesh(self.tile_parallel)
+            print(f"[parallel] tile-sharded training over "
+                  f"{self.tile_parallel} devices (one camera per step, "
+                  "row slices over ICI)")
         P = model.capacity
         self._auto_capacity = max_instances <= 0
         if max_instances <= 0:
@@ -268,6 +299,18 @@ class Trainer:
         self._last_metrics = None    # (metrics, max_instances at dispatch)
 
     def _build_step(self, sh_degree, max_instances):
+        if self.data_parallel and self.tile_parallel:
+            from gsplat_tpu.parallel.mesh2d import make_2d_train_step
+            return make_2d_train_step(
+                self.mesh, self._cfg(sh_degree, max_instances), self.opt,
+                sh_degree, self.depth_loss_choice, self.use_seg, self.bg)
+        if self.tile_parallel:
+            from gsplat_tpu.parallel.tile_parallel import (
+                make_tile_sharded_train_step,
+            )
+            return make_tile_sharded_train_step(
+                self.mesh, self._cfg(sh_degree, max_instances), self.opt,
+                sh_degree, self.depth_loss_choice, self.use_seg, self.bg)[0]
         if self.data_parallel:
             from gsplat_tpu.parallel.data_parallel import (
                 make_parallel_train_step,
@@ -275,6 +318,11 @@ class Trainer:
             return make_parallel_train_step(
                 self.mesh, self._cfg(sh_degree, max_instances), self.opt,
                 sh_degree, self.depth_loss_choice, self.use_seg, self.bg)
+        if self.appearance is not None:
+            return make_appearance_step(
+                self._cfg(sh_degree, max_instances), self.opt, sh_degree,
+                self.depth_loss_choice, self.use_seg, self.bg,
+                app_lr=self.appearance.lr)
         return make_train_step(
             self._cfg(sh_degree, max_instances), self.opt, sh_degree,
             self.depth_loss_choice, self.use_seg, self.bg)
@@ -447,16 +495,22 @@ class Trainer:
             lrs = {k: jnp.float32(v) for k, v in self.lr_fn(it).items()}
             self.key, k1, k2 = jax.random.split(self.key, 3)
             step = self._step_fn(m.active_sh_degree)
-            m.params, m.opt_state, m.aux, metrics = step(
-                m.params, m.opt_state, m.aux, batch, lrs, k1)
+            if self.appearance is not None:
+                app = self.appearance
+                args = (m.params, m.opt_state, m.aux, app.params,
+                        app.opt_state, batch, lrs, k1)
+                (m.params, m.opt_state, m.aux, app.params, app.opt_state,
+                 metrics) = step(*args)
+            else:
+                args = (m.params, m.opt_state, m.aux, batch, lrs, k1)
+                m.params, m.opt_state, m.aux, metrics = step(*args)
             # avals only: fn.lower() needs shapes/dtypes, not live buffers —
             # pinning concrete arrays here held a params+opt_state worth of
             # HBM for the whole run.  Refreshed every step so background
             # compiles always see the current capacity's shapes.
             self._example_args = jax.tree_util.tree_map(
                 lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
-                                               jnp.result_type(x)),
-                (m.params, m.opt_state, m.aux, batch, lrs, k1))
+                                               jnp.result_type(x)), args)
             # compile-ahead for the next SH-degree bump (every 1000 iters,
             # loop top): start the background compile ~100 iters early
             if (it % 1000 >= 900 and m.active_sh_degree < m.max_sh_degree
@@ -523,10 +577,21 @@ class Trainer:
             if it in save_iterations:
                 print(f"\n[ITER {it}] Saving Gaussians")
                 self.scene.save(it)
+                if self.appearance is not None and self.model_path:
+                    # beside the PLY, like the reference's
+                    # appearance_embedding.ckpt (train.py:164-167)
+                    self.appearance.save(os.path.join(
+                        self.model_path, "point_cloud", f"iteration_{it}",
+                        "appearance_embedding.npz"))
             if it in checkpoint_iterations and self.model_path:
                 print(f"\n[ITER {it}] Saving Checkpoint")
                 m.save_checkpoint(
                     os.path.join(self.model_path, f"chkpnt{it}.npz"), it)
+                if self.appearance is not None:
+                    self.appearance.save(
+                        os.path.join(self.model_path,
+                                     f"appearance_chkpnt{it}.npz"),
+                        with_opt=True)
             if it in test_iterations:
                 self.report_test(it)
         return time.time() - t_start

@@ -228,3 +228,40 @@ def test_compile_ahead_adoption_requires_fit(synth_scene, tmp_path):
     tr._pending[key]["thread"].join(timeout=300)
     assert not tr._try_adopt_pending(sh, (1 << 15) + 1)  # too small
     assert tr.max_instances == 1 << 14
+
+
+def test_train_appearance_end_to_end(synth_scene, tmp_path):
+    """--able_appearance_embedding trains end-to-end (VERDICT r2 item 2):
+    the CLI builds the joint appearance step, the embedding moves off its
+    zero init (its gradient through the loss is live), the ckpt lands
+    beside the PLY like the reference's appearance_embedding.ckpt
+    (train.py:164-167), and a checkpoint resume reloads params+moments."""
+    from gsplat_tpu.scripts.train import main
+    model_dir = str(tmp_path / "app_model")
+    main(["-s", synth_scene, "-m", model_dir,
+          "--iterations_override", "30",
+          "--backend", "jnp", "--max_instances", str(1 << 14),
+          "--capacity", "1024", "--able_appearance_embedding",
+          "--test_iterations", "30", "--save_iterations", "30",
+          "--checkpoint_iterations", "30"])
+    app_ply = os.path.join(model_dir, "point_cloud", "iteration_30",
+                           "appearance_embedding.npz")
+    assert os.path.exists(app_ply)
+    ckpt = os.path.join(model_dir, "appearance_chkpnt30.npz")
+    assert os.path.exists(ckpt)
+    z = np.load(ckpt)
+    # zero-init embedding only moves if the appearance factors change the
+    # loss — this asserts the joint gradient path end-to-end
+    assert np.abs(z["emb"]).max() > 0
+    assert "opt_count" in z.files and int(z["opt_count"]) == 30
+
+    # resume from the checkpoint pair: appearance Adam count continues
+    main(["-s", synth_scene, "-m", model_dir,
+          "--iterations_override", "35",
+          "--backend", "jnp", "--max_instances", str(1 << 14),
+          "--capacity", "1024", "--able_appearance_embedding",
+          "--start_checkpoint", os.path.join(model_dir, "chkpnt30.npz"),
+          "--test_iterations", "35", "--save_iterations", "35",
+          "--checkpoint_iterations", "35"])
+    z2 = np.load(os.path.join(model_dir, "appearance_chkpnt35.npz"))
+    assert int(z2["opt_count"]) == 35
