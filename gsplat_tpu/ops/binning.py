@@ -38,6 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gsplat_tpu.ops.pallas_util import vma_of
+
 from gsplat_tpu.ops.preprocess import PreprocessOut
 
 INF_DEPTH_BITS = 0x7F800000  # +inf float bits: sorts after every real depth
@@ -198,7 +200,8 @@ def _expand_pallas(all_offsets, all_meta, all_gid, I: int, rw_bits: int,
             pltpu.VMEM((2, rows_cap, _EXP_W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        out_shape=jax.ShapeDtypeStruct((NP, rows_cap, _EXP_CH), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((NP, rows_cap, _EXP_CH), out_dtype,
+                                       vma=vma_of(ranges, src)),
         interpret=interpret,
     )(ranges, src)
     if n_extra == 0:

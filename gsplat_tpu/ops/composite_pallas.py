@@ -49,6 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gsplat_tpu.ops.composite_ref import ALPHA_MAX, ALPHA_MIN, T_EPS
+from gsplat_tpu.ops.pallas_util import vma_of
 from gsplat_tpu.ops.preprocess import TILE_X, TILE_Y
 
 TILE_PIX = TILE_X * TILE_Y  # 256
@@ -489,7 +490,8 @@ def _pallas_forward(static, attr, ranges):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         out_shape=jax.ShapeDtypeStruct((num_tiles, C + 2, TILE_PIX),
-                                       jnp.float32),
+                                       jnp.float32,
+                                       vma=vma_of(attr, ranges)),
         interpret=interpret,
     )(ranges, attr)
 
@@ -538,7 +540,9 @@ def _composite_bwd(static, res, d_packed):
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        out_shape=jax.ShapeDtypeStruct((NCH, R, CHUNK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (NCH, R, CHUNK), jnp.float32,
+            vma=vma_of(attr, ranges_b, packed, d_packed)),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(ranges_b, attr, packed, d_packed)

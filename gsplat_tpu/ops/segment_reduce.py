@@ -27,6 +27,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gsplat_tpu.ops.pallas_util import vma_of
+
 _HI = jax.lax.Precision.HIGHEST
 
 BLOCK_G = 256     # output gaussians per program
@@ -126,7 +128,8 @@ def segment_sum_sorted(vals: jnp.ndarray, sids: jnp.ndarray,
             pltpu.VMEM((2, R_TOT, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        out_shape=jax.ShapeDtypeStruct((B, R, BLOCK_G), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, R, BLOCK_G), jnp.float32,
+                                       vma=vma_of(vals_ext, ranges)),
         interpret=interpret,
     )(ranges, vals_ext)
     return out.swapaxes(1, 2).reshape(segs_padded, R)[:num_segments]

@@ -32,14 +32,20 @@ try:  # jax>=0.8 new api
     from jax import shard_map as _shard_map
 
     def shard_map(f, mesh, in_specs, out_specs):
+        # check_vma=False: the Pallas composite/binning host glue mixes
+        # mesh-varying operands (per-camera instances) with unvarying index
+        # constants in dynamic slices, which the varying-mesh-axis checker
+        # rejects (its own error message suggests this workaround).  The
+        # collectives' numerics are covered by the single-device equality
+        # tests (test_parallel/test_tile_parallel/test_mesh2d).
         return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                          out_specs=out_specs)
+                          out_specs=out_specs, check_vma=False)
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map_old
 
     def shard_map(f, mesh, in_specs, out_specs):
         return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
-                              out_specs=out_specs)
+                              out_specs=out_specs, check_rep=False)
 
 from gsplat_tpu.models import adam
 from gsplat_tpu.models.gaussians import GaussianParams

@@ -150,3 +150,38 @@ def test_parallel_densify_stats_accumulate(rng):
     denom = np.asarray(aux.denom)
     assert denom.max() == 2.0
     assert np.asarray(aux.max_radii2d).max() > 0
+
+
+def test_parallel_step_pallas_kernels_match_jnp(rng):
+    """VERDICT r2 item 5: the Pallas composite kernels' custom VJP composed
+    with shard_map's psum (the real TPU deployment shape) — interpret mode
+    on the CPU mesh — must match the jnp-path parallel step."""
+    from gsplat_tpu.models.gaussians import GaussianParams
+
+    mesh = make_data_mesh(2)
+    m = _model_from(rng)
+    opt = OptimizationParams()
+    bg = jnp.zeros(3)
+    cams = [_cam_with_gt(rng, 0), _cam_with_gt(rng, 30)]
+    stacked = stack_camera_batches([camera_batch(c) for c in cams])
+    lrs = {k: jnp.float32(1e-3) for k in GaussianParams._fields}
+    key = jax.random.PRNGKey(0)
+
+    outs = {}
+    for backend in ("jnp", "pallas"):
+        cfg = RasterizeConfig(width=32, height=32, num_class=0,
+                              max_instances=1 << 12, k_max=256,
+                              backend=backend, grad_precision="f32")
+        step = make_parallel_train_step(mesh, cfg, opt, 3, None, False, bg)
+        outs[backend] = step(m.params, m.opt_state, m.aux, stacked, lrs, key)
+
+    pj, _, aj, mj = outs["jnp"]
+    pp, _, ap, mp = outs["pallas"]
+    np.testing.assert_allclose(float(mp["loss"]), float(mj["loss"]),
+                               rtol=1e-5)
+    for k in GaussianParams._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(pp, k)), np.asarray(getattr(pj, k)),
+            atol=1e-5, err_msg=f"param {k}: pallas-under-mesh != jnp")
+    np.testing.assert_allclose(np.asarray(ap.xyz_gradient_accum),
+                               np.asarray(aj.xyz_gradient_accum), atol=1e-4)
