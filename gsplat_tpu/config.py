@@ -121,6 +121,9 @@ class PerformanceParams(ParamGroup):
         self.profile_dir = ""        # jax.profiler trace output dir
         self.grad_precision = "bf16"  # bf16 | f32 per-instance grad rows
         self.cull = "none"           # none | exact ellipse-tile culling
+        self.low_memory = False      # lazy GT decode (bounded host RAM)
+        self.gt_cache = 0            # LRU cap on cached GT device batches
+                                     # (0 = auto ~2 GB)
         super().__init__(parser, "Performance Parameters")
 
 

@@ -25,37 +25,40 @@ def _resize_pil(img, resolution):
     return img.resize(resolution)
 
 
-def load_camera(cam_info: CameraInfo, uid: int, resolution_scale: float,
-                resolution_arg: int) -> Camera:
-    """utils/camera_utils.py:20-65 (loadCam)."""
+def _camera_resolution(orig_w: int, orig_h: int, resolution_scale: float,
+                       resolution_arg: int):
+    """The -r / 1600px-cap policy (utils/camera_utils.py:24-46)."""
+    global _WARNED
+    if resolution_arg in (1, 2, 4, 8):
+        return (round(orig_w / (resolution_scale * resolution_arg)),
+                round(orig_h / (resolution_scale * resolution_arg)))
+    if resolution_arg == -1:
+        if orig_w > 1600:
+            if not _WARNED:
+                print("[ INFO ] Encountered quite large input images "
+                      "(>1.6K pixels width), rescaling to 1.6K.\n If this "
+                      "is not desired, please explicitly specify "
+                      "'--resolution/-r' as 1")
+                _WARNED = True
+            global_down = orig_w / 1600
+        else:
+            global_down = 1
+    else:
+        global_down = orig_w / resolution_arg
+    scale = float(global_down) * float(resolution_scale)
+    return (int(orig_w / scale), int(orig_h / scale))
+
+
+def _load_pixel_arrays(cam_info: CameraInfo, resolution):
+    """Decode GT image (+alpha policy) and optional depth/segment at
+    ``resolution`` — the pixel half of loadCam (utils/camera_utils.py:47-60),
+    shared by the eager Camera and LazyCamera."""
     from PIL import Image
 
-    global _WARNED
-    img = Image.open(cam_info.image_path)
-    orig_w, orig_h = img.size
-
-    if resolution_arg in (1, 2, 4, 8):
-        resolution = (round(orig_w / (resolution_scale * resolution_arg)),
-                      round(orig_h / (resolution_scale * resolution_arg)))
-    else:
-        if resolution_arg == -1:
-            if orig_w > 1600:
-                if not _WARNED:
-                    print("[ INFO ] Encountered quite large input images "
-                          "(>1.6K pixels width), rescaling to 1.6K.\n If this "
-                          "is not desired, please explicitly specify "
-                          "'--resolution/-r' as 1")
-                    _WARNED = True
-                global_down = orig_w / 1600
-            else:
-                global_down = 1
-        else:
-            global_down = orig_w / resolution_arg
-        scale = float(global_down) * float(resolution_scale)
-        resolution = (int(orig_w / scale), int(orig_h / scale))
-
-    has_alpha = img.mode in ("RGBA", "LA", "PA")
-    arr = np.asarray(_resize_pil(img, resolution), dtype=np.float32) / 255.0
+    with Image.open(cam_info.image_path) as img:
+        has_alpha = img.mode in ("RGBA", "LA", "PA")
+        arr = np.asarray(_resize_pil(img, resolution),
+                         dtype=np.float32) / 255.0
     if arr.ndim == 2:
         arr = np.repeat(arr[..., None], 3, axis=-1)
     alpha_mask = None
@@ -74,7 +77,8 @@ def load_camera(cam_info: CameraInfo, uid: int, resolution_scale: float,
     depth = None
     if cam_info.depth_path:
         with Image.open(cam_info.depth_path) as dimg:
-            depth = np.asarray(_resize_pil(dimg, resolution), dtype=np.float32)
+            depth = np.asarray(_resize_pil(dimg, resolution),
+                               dtype=np.float32)
         if depth.ndim == 3:
             depth = depth[..., 0]
         depth = depth[None]  # [1,H,W], raw values (no normalization —
@@ -87,13 +91,83 @@ def load_camera(cam_info: CameraInfo, uid: int, resolution_scale: float,
         if seg.ndim == 3:
             seg = seg[..., 0]
         seg = seg.astype(np.int32)  # [H,W] labels
+    return image, alpha_mask, depth, seg
 
+
+def load_camera(cam_info: CameraInfo, uid: int, resolution_scale: float,
+                resolution_arg: int) -> Camera:
+    """utils/camera_utils.py:20-65 (loadCam)."""
+    from PIL import Image
+
+    with Image.open(cam_info.image_path) as img:
+        orig_w, orig_h = img.size
+    resolution = _camera_resolution(orig_w, orig_h, resolution_scale,
+                                    resolution_arg)
+    image, alpha_mask, depth, seg = _load_pixel_arrays(cam_info, resolution)
     return Camera(
         colmap_id=cam_info.uid, R=cam_info.R, T=cam_info.T,
         FoVx=cam_info.FovX, FoVy=cam_info.FovY, image=image,
         gt_alpha_mask=alpha_mask, image_name=cam_info.image_name, uid=uid,
         depth=depth, segment=seg,
     )
+
+
+class LazyCamera(Camera):
+    """A full training Camera whose pixel arrays (GT image / depth / segment)
+    are decoded from disk ON EACH ACCESS instead of held in host RAM — the
+    bounded-memory training mode (the reference keeps every camera's pixels
+    resident on ``data_device``, scene/cameras.py:41-50, which at the 1600px
+    cap with hundreds of cameras is tens of GB; its ``low_memory`` MiniCam
+    path drops pixels entirely and cannot train).  Pose/projection matrices
+    are computed eagerly (tiny); pair with the Trainer's LRU device-batch
+    cache so at most ``gt_cache`` cameras' pixels exist anywhere at once."""
+
+    def __init__(self, cam_info: CameraInfo, uid: int,
+                 resolution_scale: float, resolution_arg: int):
+        from PIL import Image
+
+        orig_w, orig_h = cam_info.width, cam_info.height
+        if not (orig_w and orig_h):
+            with Image.open(cam_info.image_path) as img:
+                orig_w, orig_h = img.size
+        resolution = _camera_resolution(orig_w, orig_h, resolution_scale,
+                                        resolution_arg)
+        # bypass the dataclass __init__ (it requires eager pixels)
+        self.colmap_id = cam_info.uid
+        self.R = cam_info.R
+        self.T = cam_info.T
+        self.FoVx = cam_info.FovX
+        self.FoVy = cam_info.FovY
+        self.image_name = cam_info.image_name
+        self.uid = uid
+        self.gt_alpha_mask = None
+        self.trans = np.zeros(3)
+        self.scale = 1.0
+        self.znear, self.zfar = 0.01, 100.0
+        self.image_width, self.image_height = resolution
+        self._cam_info = cam_info
+        self._resolution = resolution
+        self._build_matrices()
+
+    def _pixels(self):
+        image, alpha_mask, depth, seg = _load_pixel_arrays(
+            self._cam_info, self._resolution)
+        image = np.clip(image, 0.0, 1.0)
+        if alpha_mask is not None:
+            image = image * np.asarray(alpha_mask, np.float32)
+        return image, depth, seg
+
+    @property
+    def image(self):
+        return self._pixels()[0]
+
+    @property
+    def depth(self):
+        return self._pixels()[1]
+
+    @property
+    def segment(self):
+        return self._pixels()[2]
 
 
 def load_camera_low_memory(cam_info: CameraInfo, resolution_scale: float,
@@ -144,7 +218,11 @@ class Scene:
 
     def __init__(self, args, gaussians, load_iteration: Optional[int] = None,
                  shuffle: bool = True, resolution_scales=(1.0,),
-                 sub_scene: Optional[List[str]] = None, low_memory: bool = False):
+                 sub_scene: Optional[List[str]] = None, low_memory: bool = False,
+                 lazy_images: bool = False):
+        # lazy_images: build LazyCameras (pixels decoded per access) so host
+        # RAM stays bounded on large datasets; low_memory keeps the
+        # reference's pose-only MiniCam semantics (render/visualize only)
         self.model_path = args.model_path
         self.loaded_iter = None
         self.gaussians = gaussians
@@ -207,6 +285,13 @@ class Scene:
                 self.test_cameras[scale] = [
                     load_camera_low_memory(c, scale, args.resolution)
                     for c in scene_info.test_cameras]
+            elif lazy_images:
+                self.train_cameras[scale] = [
+                    LazyCamera(c, i, scale, args.resolution)
+                    for i, c in enumerate(scene_info.train_cameras)]
+                self.test_cameras[scale] = [
+                    LazyCamera(c, i, scale, args.resolution)
+                    for i, c in enumerate(scene_info.test_cameras)]
             else:
                 self.train_cameras[scale] = [
                     load_camera(c, i, scale, args.resolution)

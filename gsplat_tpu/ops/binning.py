@@ -117,6 +117,9 @@ def _expand_kernel(rw_bits: int, grid_x: int, num_tiles: int, n_extra: int,
         dma(slot, p).wait()
         off = win[slot, 0][:, None]                      # [W,1]
         cmp = (off <= pos).astype(jnp.float32)           # [W,CH]
+        # (an MXU ones-matmul for this count measured ~1 ms SLOWER end to
+        # end than the sublane tree — the cmp relayout outweighs the saved
+        # shift+adds, the same pattern as the mxu moment-basis experiments)
         cnt = jnp.sum(cmp, axis=0, keepdims=True)        # [1,CH] exact <=128
         onehot = (k_io == (cnt - 1.0)).astype(jnp.float32)
         sel = jax.lax.dot_general(win[slot, 0:n_sel], onehot,

