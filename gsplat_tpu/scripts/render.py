@@ -75,6 +75,11 @@ def main(argv=None):
     parser.add_argument("--inter_test_frames", default=0, type=int)
     parser.add_argument("--render_file", default=None, type=str)
     parser.add_argument("--video", action="store_true")
+    parser.add_argument("--set_video", choices=["plain", "depth"],
+                        default=None,
+                        help="export each rendered set as an mp4; 'depth' "
+                             "composites the depth pane side-by-side "
+                             "(composite_video.py save_vidio)")
     parser.add_argument("--backend", default="auto", type=str)
     if argv is not None:
         sys.argv = ["render.py"] + list(argv)
@@ -102,6 +107,18 @@ def main(argv=None):
         render_set(dataset.model_path, "test", scene.loaded_iter,
                    scene.getTestCameras(), gaussians, background,
                    args.backend)
+
+    if getattr(args, "set_video", None):
+        # set-level mp4 export: plain or with the side-by-side depth pane
+        # (reference composite_video.py save_vidio / save_vidio_no_depth)
+        from gsplat_tpu.viz.video import save_vidio, save_vidio_no_depth
+        writer = (save_vidio if args.set_video == "depth"
+                  else save_vidio_no_depth)
+        for name, skip in (("train", args.skip_train),
+                           ("test", args.skip_test)):
+            if not skip:
+                print("set video:",
+                      writer(dataset.model_path, name, scene.loaded_iter))
 
     frames = None
     cams = scene.getTrainCameras() or scene.getTestCameras()

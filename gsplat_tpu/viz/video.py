@@ -59,3 +59,46 @@ def save_video(frames: List[np.ndarray], out_path: str, fps: int = 30) -> str:
         return out_path
     print(f"[video] no cv2/ffmpeg encoder; frames left in {frame_dir}")
     return frame_dir
+
+
+def _read_rgb(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("RGB"))
+    return arr
+
+
+def save_vidio(model_path: str, name: str, step,
+               fps: int = 30) -> str:
+    """Depth-composited set video: concatenate each rendered frame with its
+    depth pane side-by-side and write ``<name>-step_<step>-test.mp4`` —
+    the reference's ``save_vidio`` (composite_video.py:35-52; the function
+    name's spelling is the reference's API).  Reads the
+    ``<model>/<name>/ours_<step>/{renders,depth}`` folders render_set
+    produces."""
+    base = os.path.join(model_path, name, f"ours_{step}")
+    renders = sorted(os.listdir(os.path.join(base, "renders")))
+    depths = sorted(os.listdir(os.path.join(base, "depth")))
+    frames = []
+    for rp, dp in zip(renders, depths):
+        im = _read_rgb(os.path.join(base, "renders", rp))
+        d = _read_rgb(os.path.join(base, "depth", dp))
+        frames.append(np.concatenate([im, d], axis=1).astype(np.float32)
+                      / 255.0)
+    return save_video(frames,
+                      os.path.join(model_path,
+                                   f"{name}-step_{step}-test.mp4"), fps)
+
+
+def save_vidio_no_depth(model_path: str, name: str, step,
+                        fps: int = 30) -> str:
+    """Set video without the depth pane (composite_video.py:53-65)."""
+    base = os.path.join(model_path, name, f"ours_{step}")
+    renders = sorted(os.listdir(os.path.join(base, "renders")))
+    frames = [
+        _read_rgb(os.path.join(base, "renders", rp)).astype(np.float32)
+        / 255.0 for rp in renders]
+    return save_video(frames,
+                      os.path.join(model_path,
+                                   f"{name}-step_{step}-test.mp4"), fps)

@@ -280,3 +280,34 @@ def test_render_app_keyframe_workflow(tmp_path, rng):
     # '.' drops the last keyframe
     srv.handle_key(".")
     assert len(srv.keyframes) == 1
+
+
+def test_set_video_with_depth_pane(tmp_path):
+    """Depth-composited set video (reference composite_video.py:35-52):
+    renders+depth side-by-side frames, mp4 (or frame-dir fallback)."""
+    import os
+
+    from PIL import Image
+
+    from gsplat_tpu.viz.video import save_vidio, save_vidio_no_depth
+
+    base = tmp_path / "test" / "ours_7"
+    for sub in ("renders", "depth"):
+        os.makedirs(base / sub)
+    for i in range(4):
+        Image.fromarray(
+            (np.random.default_rng(i).uniform(
+                size=(16, 24, 3)) * 255).astype(np.uint8)).save(
+            base / "renders" / f"{i:05d}.png")
+        Image.fromarray(
+            (np.ones((16, 24)) * 40 * i).astype(np.uint8)).save(
+            base / "depth" / f"{i:05d}.png")
+
+    out = save_vidio(str(tmp_path), "test", 7)
+    assert os.path.exists(out)
+    # side-by-side: composited frames are 48 px wide
+    frame_dir = os.path.join(str(tmp_path), "test-step_7-test_frames")
+    f0 = np.asarray(Image.open(os.path.join(frame_dir, "00000.png")))
+    assert f0.shape[1] == 48
+    out2 = save_vidio_no_depth(str(tmp_path), "test", 7)
+    assert os.path.exists(out2)
