@@ -303,7 +303,8 @@ class Trainer:
         # one, so the swap is stall-free (VERDICT r1 item 6)
         self._pending = {}           # (sh, model_cap, max_inst) -> holder
         self._example_args = None
-        self._last_metrics = None    # (metrics, max_instances at dispatch)
+        from collections import deque
+        self._pending_checks = deque()   # (it, nr, overflow, max_inst)
         # LRU cap on the per-camera device-batch cache.  Unbounded caching
         # (round-2 behavior) pins every camera's GT image (+depth/seg) in
         # HBM forever — at the reference's 1600px cap with a few hundred
@@ -529,23 +530,43 @@ class Trainer:
                 self._precompile_async(m.active_sh_degree + 1,
                                        self.max_instances)
 
-            # capacity management every iteration on the PREVIOUS step's
-            # metrics — by dispatch order that step has already executed, so
-            # the two scalar readbacks don't break dispatch pipelining.
-            # (Log-tick-only checks let an overflow silently degrade
-            # gradients for up to log_every-1 steps.)  Metrics from a step
-            # dispatched before the last resize are stale — skipped.
-            prev = self._last_metrics
-            self._last_metrics = (metrics, self.max_instances)
-            if prev is not None and prev[1] == self.max_instances:
-                self._manage_capacity(it, int(prev[0]["num_rendered"]),
-                                      bool(prev[0]["overflow"]))
+            # Capacity management EVERY iteration (log-tick-only checks let
+            # an overflow silently degrade gradients for up to log_every-1
+            # steps) — but with a 2-step-delayed, ASYNC-prefetched readback:
+            # a naive int()/bool() on the previous step's scalars costs a
+            # full device round trip per iteration, which over a remote TPU
+            # tunnel (~70-90 ms RTT) doubled the measured step time.  The
+            # scalars' host copies are started at dispatch and consumed two
+            # iterations later, by when the transfer has landed.  Metrics
+            # from a step dispatched before the last resize are stale —
+            # skipped.
+            nr_a, ov_a = metrics["num_rendered"], metrics["overflow"]
+            for a in (nr_a, ov_a):
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+            self._pending_checks.append((it, nr_a, ov_a, self.max_instances))
+            while len(self._pending_checks) > 2:
+                cit, p_nr, p_ov, p_mi = self._pending_checks.popleft()
+                if p_mi == self.max_instances:
+                    self._manage_capacity(cit, int(p_nr), bool(p_ov))
 
             if it % log_every == 0 or it == iterations:
                 loss = float(metrics["loss"])
                 self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
                 if callback:
                     callback(it, metrics, self)
+                # graceful external stop: touching <model_path>/STOP ends
+                # the run cleanly (checkpoint + PLY) — killing a process
+                # mid-execute can wedge remote-TPU transports
+                if self.model_path and os.path.exists(
+                        os.path.join(self.model_path, "STOP")):
+                    print(f"[it {it}] STOP file found — saving and exiting")
+                    self.scene.save(it)
+                    m.save_checkpoint(
+                        os.path.join(self.model_path, f"chkpnt{it}.npz"), it)
+                    break
 
             # densification schedule (train.py:169-180)
             if it < opt.densify_until_iter:

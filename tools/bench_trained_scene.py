@@ -110,15 +110,28 @@ def main():
             return l
 
         t = timed(fwdbwd, g, iters=args.iters)
-        return need, cap, t
 
-    n0, c0, t0 = measure("none")
-    n1, c1, t1 = measure("exact")
+        cfg_r = RasterizeConfig(width=W, height=H, max_instances=cap,
+                                backend="auto", cull=cull, render_only=True)
+
+        @jax.jit
+        def render_only(g):
+            return rasterize(cfg_r, g["means3d"], g["scales"],
+                             g["rotations"], g["opacities"], g["shs"],
+                             **cam_kw)["render"]
+
+        t_r = timed(render_only, g, iters=args.iters)
+        return need, cap, t, t_r
+
+    n0, c0, t0, r0 = measure("none")
+    n1, c1, t1, r1 = measure("exact")
     mpix = W * H / 1e6
     print(f"cull=none : instances={n0} capacity={c0} "
-          f"fwd+bwd {t0*1e3:.1f} ms ({mpix/t0:.1f} Mpix/s)")
+          f"fwd+bwd {t0*1e3:.1f} ms ({mpix/t0:.1f} Mpix/s) "
+          f"render {1/r0:.1f} fps")
     print(f"cull=exact: instances={n1} capacity={c1} "
-          f"fwd+bwd {t1*1e3:.1f} ms ({mpix/t1:.1f} Mpix/s)")
+          f"fwd+bwd {t1*1e3:.1f} ms ({mpix/t1:.1f} Mpix/s) "
+          f"render {1/r1:.1f} fps")
     print(f"cull fraction: {100*(1 - n1/max(n0,1)):.1f}%  "
           f"speedup {t0/t1:.2f}x")
 
