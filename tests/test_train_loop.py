@@ -307,3 +307,28 @@ def test_bounded_memory_training(synth_scene, tmp_path):
              callback=lambda it, met, tr: losses.append(float(met["loss"])))
     assert len(tr._batches) <= 2
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_stop_file_graceful_exit(synth_scene, tmp_path):
+    """A STOP file in the model dir ends training cleanly at the next log
+    tick with a checkpoint + PLY (the safe way to stop a long TPU run)."""
+    from gsplat_tpu.config import OptimizationParams
+    from gsplat_tpu.data.scene import Scene
+    from gsplat_tpu.models.gaussians import GaussianModel
+    from gsplat_tpu.train.trainer import Trainer
+
+    model_dir = str(tmp_path / "m")
+    os.makedirs(model_dir, exist_ok=True)
+    m = GaussianModel(3, num_class=3, capacity=1024)
+    args = _make_args(synth_scene, model_dir)
+    scene = Scene(args, m, shuffle=False)
+    m.training_setup()
+    opt = OptimizationParams()
+    opt.densify_from_iter = 10_000
+    tr = Trainer(m, scene, opt, backend="jnp", max_instances=1 << 14,
+                 model_path=model_dir)
+    open(os.path.join(model_dir, "STOP"), "w").close()
+    tr.train(iterations=20, log_every=5)
+    assert os.path.exists(os.path.join(model_dir, "chkpnt5.npz"))
+    assert os.path.exists(os.path.join(model_dir, "point_cloud",
+                                       "iteration_5", "point_cloud.ply"))
