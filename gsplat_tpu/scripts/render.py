@@ -13,7 +13,7 @@ import numpy as np
 
 
 def render_set(model_path, name, iteration, views, gaussians, background,
-               backend="auto"):
+               backend="auto", renderer=None):
     """render.py:26-43: save render/gt/depth PNGs per view."""
     import jax.numpy as jnp
     from PIL import Image
@@ -27,7 +27,8 @@ def render_set(model_path, name, iteration, views, gaussians, background,
         os.makedirs(p, exist_ok=True)
 
     for idx, view in enumerate(views):
-        out = render(view, gaussians, bg_color=background, backend=backend)
+        out = (renderer(view) if renderer is not None else
+               render(view, gaussians, bg_color=background, backend=backend))
         img = np.clip(np.asarray(out["render"]), 0, 1).transpose(1, 2, 0)
         Image.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(render_path, f"{idx:05d}.png"))
@@ -61,6 +62,43 @@ def render_path_frames(views_matrices, template_cam, gaussians, background,
     return frames
 
 
+def make_tile_renderer(n: int, scene, gaussians, background, backend,
+                       sh_degree: int):
+    """Tile-row-sharded view renderer over an n-device mesh (bit-exact vs
+    the single-device render — parallel/tile_parallel.py); the multi-chip
+    product surface for offline set rendering."""
+    import jax.numpy as jnp
+
+    from gsplat_tpu.core import transforms as Tr
+    from gsplat_tpu.ops.rasterize import RasterizeConfig
+    from gsplat_tpu.parallel.tile_parallel import (
+        make_tile_mesh, make_tile_sharded_render, slice_camera,
+    )
+
+    cams = scene.getTrainCameras() or scene.getTestCameras()
+    W, H = cams[0].image_width, cams[0].image_height
+    if H % (16 * n) != 0:
+        raise ValueError(f"--tile_parallel {n} needs image height ({H}) to "
+                         "split into whole 16-px tile rows per device")
+    cfg = RasterizeConfig(width=W, height=H, sh_degree=sh_degree,
+                          max_instances=1 << 20, backend=backend)
+    fn = make_tile_sharded_render(make_tile_mesh(n), cfg)
+    p = gaussians.params
+    bg = jnp.asarray(background)
+
+    def tile_render(view):
+        out = fn(p.xyz, Tr.scaling_activation(p.scaling), p.rotation,
+                 Tr.opacity_activation(p.opacity[:, 0]),
+                 jnp.concatenate([p.features_dc, p.features_rest], axis=1),
+                 slice_camera(view, n), bg)
+        if bool(out["overflow"]):
+            print("[render] WARNING: instance capacity overflow on "
+                  f"view — raise max_instances")
+        return out
+
+    return tile_render
+
+
 def main(argv=None):
     from gsplat_tpu.config import (ModelParams, PipelineParams,
                                    get_combined_args)
@@ -81,6 +119,9 @@ def main(argv=None):
                              "composites the depth pane side-by-side "
                              "(composite_video.py save_vidio)")
     parser.add_argument("--backend", default="auto", type=str)
+    parser.add_argument("--tile_parallel", default=1, type=int,
+                        help="shard each image's 16px tile rows over N "
+                             "devices (bit-exact vs single-device)")
     if argv is not None:
         sys.argv = ["render.py"] + list(argv)
     args = get_combined_args(parser)
@@ -99,14 +140,19 @@ def main(argv=None):
                   shuffle=False)
     background = jnp.ones(3) if dataset.white_background else jnp.zeros(3)
 
+    renderer = None
+    if args.tile_parallel > 1:
+        renderer = make_tile_renderer(args.tile_parallel, scene, gaussians,
+                                      background, args.backend,
+                                      dataset.sh_degree)
     if not args.skip_train:
         render_set(dataset.model_path, "train", scene.loaded_iter,
                    scene.getTrainCameras(), gaussians, background,
-                   args.backend)
+                   args.backend, renderer=renderer)
     if not args.skip_test:
         render_set(dataset.model_path, "test", scene.loaded_iter,
                    scene.getTestCameras(), gaussians, background,
-                   args.backend)
+                   args.backend, renderer=renderer)
 
     if getattr(args, "set_video", None):
         # set-level mp4 export: plain or with the side-by-side depth pane

@@ -68,3 +68,19 @@ def test_pose_interpolation():
     ang = Rotation.from_matrix(mid[:3, :3].T).magnitude()
     np.testing.assert_allclose(np.rad2deg(ang), 45, atol=1.0)
     np.testing.assert_allclose(mid[3, 0], 0.5, atol=1e-5)
+
+
+def test_render_cli_tile_parallel_bit_exact(trained_model):
+    """--tile_parallel N renders each set image sharded by tile rows over
+    the CPU mesh, bit-identical to the single-device render."""
+    scene_dir, model_dir = trained_model
+    from gsplat_tpu.scripts.render import main as render_main
+    import numpy as np
+    from PIL import Image
+
+    base = os.path.join(model_dir, "test", "ours_60", "renders", "00000.png")
+    single = np.asarray(Image.open(base)).copy()
+    render_main(["-m", model_dir, "--backend", "jnp", "--skip_train",
+                 "--tile_parallel", "3"])
+    tiled = np.asarray(Image.open(base))
+    np.testing.assert_array_equal(tiled, single)
