@@ -305,6 +305,7 @@ class Trainer:
         self._example_args = None
         from collections import deque
         self._pending_checks = deque()   # (it, nr, overflow, max_inst)
+        self._check_interval = 1         # adaptive (see train loop)
         # LRU cap on the per-camera device-batch cache.  Unbounded caching
         # (round-2 behavior) pins every camera's GT image (+depth/seg) in
         # HBM forever — at the reference's 1600px cap with a few hundred
@@ -525,32 +526,38 @@ class Trainer:
                                                jnp.result_type(x)), args)
             # compile-ahead for the next SH-degree bump (every 1000 iters,
             # loop top): start the background compile ~100 iters early
-            if (it % 1000 >= 900 and m.active_sh_degree < m.max_sh_degree
+            if (it % 1000 >= 600 and m.active_sh_degree < m.max_sh_degree
                     and it + (1000 - it % 1000) <= iterations):
                 self._precompile_async(m.active_sh_degree + 1,
                                        self.max_instances)
 
-            # Capacity management EVERY iteration (log-tick-only checks let
-            # an overflow silently degrade gradients for up to log_every-1
-            # steps) — but with a 2-step-delayed, ASYNC-prefetched readback:
-            # a naive int()/bool() on the previous step's scalars costs a
-            # full device round trip per iteration, which over a remote TPU
-            # tunnel (~70-90 ms RTT) doubled the measured step time.  The
-            # scalars' host copies are started at dispatch and consumed two
-            # iterations later, by when the transfer has landed.  Metrics
-            # from a step dispatched before the last resize are stale —
+            # Capacity management with an ADAPTIVE check cadence.  A scalar
+            # readback costs a full device round trip (~70-90 ms over a
+            # remote TPU tunnel — checking every iteration doubled the
+            # 1600px step time), and copy_to_host_async over that transport
+            # returns garbage for not-yet-computed arrays (observed: nr
+            # ~300k for a real 720k, causing capacity thrashing).  So: the
+            # previous steps' metrics are consumed with plain synchronous
+            # reads, every iteration only when utilization is NEAR the
+            # capacity limits (the regime where a silent overflow could
+            # degrade gradients), every ~10 otherwise — and always right
+            # after a densification event, the only place demand can jump
+            # stepwise.  Metrics from before the last resize are stale —
             # skipped.
-            nr_a, ov_a = metrics["num_rendered"], metrics["overflow"]
-            for a in (nr_a, ov_a):
-                try:
-                    a.copy_to_host_async()
-                except AttributeError:
-                    pass
-            self._pending_checks.append((it, nr_a, ov_a, self.max_instances))
-            while len(self._pending_checks) > 2:
-                cit, p_nr, p_ov, p_mi = self._pending_checks.popleft()
-                if p_mi == self.max_instances:
-                    self._manage_capacity(cit, int(p_nr), bool(p_ov))
+            self._pending_checks.append(
+                (it, metrics["num_rendered"], metrics["overflow"],
+                 self.max_instances))
+            if it % self._check_interval == 0:
+                pads = 64 * self._cfg(0).grid_x * self._cfg(0).grid_y
+                while len(self._pending_checks) > 2:
+                    cit, p_nr, p_ov, p_mi = self._pending_checks.popleft()
+                    if p_mi != self.max_instances:
+                        continue
+                    nr, ov = int(p_nr), bool(p_ov)
+                    util = (nr + pads) / max(self.max_instances, 1)
+                    self._check_interval = (1 if ov or util > 0.8
+                                            else 3 if util > 0.55 else 10)
+                    self._manage_capacity(cit, nr, ov)
 
             if it % log_every == 0 or it == iterations:
                 loss = float(metrics["loss"])
@@ -583,6 +590,7 @@ class Trainer:
                     if bool(dstats.n_dropped):
                         print(f"[it {it}] WARNING: {int(dstats.n_dropped)} "
                               "densify targets dropped (capacity full)")
+                    self._check_interval = 1  # demand just jumped stepwise
                     # densification changes instance demand STEPWISE (the
                     # next render's nr scales ~ alive growth) — the 72%
                     # log-tick prewarm can be jumped right past, so predict
