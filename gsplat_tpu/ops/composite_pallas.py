@@ -179,9 +179,76 @@ def _chunk_alpha(buf, px, py, valid, mxu_power=False, origin=None,
 ATTR_BASE = 6
 
 
+# --- bf16-pair feature packing (feat_precision="bf16") -----------------------
+# The gather engine runs at ~5.1 ns/row for tables of <= 8 f32 columns but
+# ~6.3 ns/row beyond (one vs two (8,128) sublane tiles per row,
+# tools/bench_gather_width.py) — packing the feature columns as bf16 PAIRS
+# keeps the common no-segment table at 8 columns (6 geometry f32 + 2 packed),
+# shaving ~2.5 ms off the 2.1M-row gather.  Geometry stays f32 (bf16 mean2d
+# would be ~4 px of position error at 1080p); features (rgb/depth) tolerate
+# the 0.4% bf16 rounding like the bf16 grad-reduce already does.
+
+def _unpack_feat_rows(buf_slot, Cg: int, with_ones: bool):
+    """[Cp packed rows in buf] -> [C, K] f32 feature matrix.  A bf16 is a
+    truncated f32: hi = the word's top 16 bits, lo = the bottom 16 shifted
+    up — 3 integer ops per packed row, no 16-bit vector types needed."""
+    rows = []
+    for j in range((Cg + 1) // 2):
+        u = jax.lax.bitcast_convert_type(buf_slot[ATTR_BASE + j], jnp.uint32)
+        rows.append(jax.lax.bitcast_convert_type(
+            u & jnp.uint32(0xFFFF0000), jnp.float32))
+        rows.append(jax.lax.bitcast_convert_type(u << 16, jnp.float32))
+    rows = rows[:Cg]
+    if with_ones:
+        rows.append(jnp.ones_like(rows[0]))
+    return jnp.stack(rows, axis=0)
+
+
+def _round_bf16_bits(x):
+    """f32 -> round-to-nearest-even bf16 bit pattern in the top 16 bits."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) \
+        & jnp.uint32(0xFFFF0000)
+
+
+def _pack_feat_grad_rows(d, Cg: int):
+    """d [>=Cg, K] f32 -> Cp packed rows (RNE bf16 pairs) for dbuf."""
+    out = []
+    for j in range((Cg + 1) // 2):
+        hi = _round_bf16_bits(d[2 * j])
+        lo_src = d[2 * j + 1] if 2 * j + 1 < Cg else jnp.zeros_like(d[0])
+        lo = _round_bf16_bits(lo_src) >> 16
+        out.append(jax.lax.bitcast_convert_type(hi | lo, jnp.float32))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def pack_feats(feats, Cg: int):
+    """Host-side bf16-pair packing with the matching cotangent convention:
+    the adjoint receives PACKED per-gaussian gradient pairs (produced by
+    gather_rows' packed_tail-aware reduction) and unpacks them."""
+    from gsplat_tpu.ops.segment_reduce import _pack_bf16_pairs
+    return _pack_bf16_pairs(feats)
+
+
+def _pack_feats_fwd(feats, Cg):
+    from gsplat_tpu.ops.segment_reduce import _pack_bf16_pairs
+    return _pack_bf16_pairs(feats), None
+
+
+def _pack_feats_bwd(Cg, _, d_packed):
+    from gsplat_tpu.ops.segment_reduce import _unpack_bf16_pairs
+    return (_unpack_bf16_pairs(d_packed, Cg),)
+
+
+pack_feats.defvjp(_pack_feats_fwd, _pack_feats_bwd)
+
+
 def _forward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
-                    ranges_ref, attr_ref, img_ref,
+                    fp, ranges_ref, attr_ref, img_ref,
                     buf, sems):
+    # fp = (feat_packed, Cg, with_ones) — bf16-pair feature rows (see
+    # _unpack_feat_rows); C stays the LOGICAL composited channel count
     # img_ref packs [C composited channels; T_final; n_contrib] as C+2 rows
     # so the output block satisfies Mosaic's (8,128)-conformal rule.
     t = pl.program_id(0)
@@ -263,9 +330,10 @@ def _forward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
             terminated = done | (T_incl[-1:] < T_EPS)
             T_new = jnp.where(terminated, -T_frozen, T_frozen)
 
+            feats = (_unpack_feat_rows(buf[slot], fp[1], fp[2]) if fp[0]
+                     else buf[slot, ATTR_BASE:ATTR_BASE + C])
             acc = acc + jax.lax.dot_general(
-                buf[slot, ATTR_BASE:ATTR_BASE + C], w,
-                (((1,), (0,)), ((), ())), precision=_HI)
+                feats, w, (((1,), (0,)), ((), ())), precision=_HI)
 
             # n_contrib: 1-based position of last contributor
             # (forward.cu:356-379)
@@ -286,7 +354,7 @@ def _forward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
 
 
 def _backward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
-                     ranges_ref, attr_ref, fwd_ref, dpk_ref,
+                     fp, ranges_ref, attr_ref, fwd_ref, dpk_ref,
                      dattr_ref,
                      buf, dbuf, sems, osems):
     # FORWARD-walk backward (r2 redesign).  The CUDA backward (and our r1
@@ -396,7 +464,9 @@ def _backward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
         w = a_eff * T_excl
 
         # g_i = <feat_i, dL/dout> per pixel: [K,256]
-        g = jax.lax.dot_general(buf[slot, ATTR_BASE:ATTR_BASE + C], d_out,
+        feats = (_unpack_feat_rows(buf[slot], fp[1], fp[2]) if fp[0]
+                 else buf[slot, ATTR_BASE:ATTR_BASE + C])
+        g = jax.lax.dot_general(feats, d_out,
                                 (((0,), (0,)), ((), ())), precision=_HI)
 
         # S_i = sum_{j>i} w_j g_j = TOT - inclusive prefix.  (A
@@ -460,9 +530,18 @@ def _backward_kernel(grid_x: int, C: int, R: int, mxu_power: bool,
         dbuf[wslot, 3] = (-sxy)[0]
         dbuf[wslot, 4] = (-0.5 * syy)[0]
         dbuf[wslot, 5] = (s0 * jnp.where(op_row > 0.0, 1.0 / op_row, 0.0))[0]
-        # d_feat [C,K] = d_out [C,256] @ w^T [256,K]
-        dbuf[wslot, ATTR_BASE:ATTR_BASE + C] = jax.lax.dot_general(
+        # d_feat [C,K] = d_out [C,256] @ w^T [256,K]; in packed mode the
+        # Cg real feature grads are re-packed as bf16 pairs (the cotangent
+        # convention of pack_feats / gather_rows packed_tail) and the ones
+        # channel's discarded grad is never written
+        d_feat = jax.lax.dot_general(
             d_out, w, (((1,), (1,)), ((), ())), precision=_HI)
+        if fp[0]:
+            for j, packed_row in enumerate(
+                    _pack_feat_grad_rows(d_feat, fp[1])):
+                dbuf[wslot, ATTR_BASE + j] = packed_row
+        else:
+            dbuf[wslot, ATTR_BASE:ATTR_BASE + C] = d_feat
 
         dma_out(wslot, c).start()
 
@@ -497,8 +576,8 @@ def _composite_core(static, attr, ranges):
 
 
 def _pallas_forward(static, attr, ranges):
-    grid_x, num_tiles, C, R, NCH, interpret, mxu_power = static
-    kernel = functools.partial(_forward_kernel, grid_x, C, R, mxu_power)
+    grid_x, num_tiles, C, R, NCH, interpret, mxu_power, fp = static
+    kernel = functools.partial(_forward_kernel, grid_x, C, R, mxu_power, fp)
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -525,9 +604,10 @@ def _composite_fwd(static, attr, ranges):
 
 
 def _composite_bwd(static, res, d_packed):
-    grid_x, num_tiles, C, R, NCH, interpret, mxu_power = static
+    grid_x, num_tiles, C, R, NCH, interpret, mxu_power, fp = static
     attr, ranges, packed = res
-    kernel = functools.partial(_backward_kernel, grid_x, C, R, mxu_power)
+    kernel = functools.partial(_backward_kernel, grid_x, C, R, mxu_power,
+                               fp)
 
     # Per-tile chunk limit: the last contributing instance position is
     # max_pix n_contrib (packed row C+1); chunks past it carry zero gradient
@@ -586,8 +666,15 @@ def _composite_bwd(static, res, d_packed):
         1, mode="drop", indices_are_sorted=True)
     town = jnp.clip(jnp.cumsum(seed) - 1, 0, num_tiles - 1)
     written = (cidx - starts[town]) < nbw[town]
-    d_attr = jnp.where(
-        jnp.isfinite(d_attr) & written[:, None, None], d_attr, 0.0)
+    finite = jnp.isfinite(d_attr)
+    if fp[0]:
+        # packed bf16-pair rows are opaque bit patterns — a pair can alias
+        # an f32 inf/nan; exempt them from the finite guard (the written
+        # mask already zeroes every unwritten chunk)
+        ridx = jnp.arange(R)
+        is_packed_row = (ridx >= ATTR_BASE) &             (ridx < ATTR_BASE + (fp[1] + 1) // 2)
+        finite = finite | is_packed_row[None, :, None]
+    d_attr = jnp.where(finite & written[:, None, None], d_attr, 0.0)
     return d_attr, _float0_zeros(ranges)
 
 
@@ -598,7 +685,8 @@ def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
                      height: int, interpret: bool = False,
                      const_last_feat: bool = False,
                      grad_precision: str = "f32",
-                     mxu_power: bool = False):
+                     mxu_power: bool = False,
+                     feat_precision: str = "f32"):
     """Tiled Pallas compositor:
     returns (img [C,H,W] pre-background, T_final [H,W], overflow []).
 
@@ -617,7 +705,6 @@ def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
     I = bins.gauss_id.shape[0]
     assert I % CHUNK == 0, "max_instances must be a multiple of CHUNK"
     NCH = I // CHUNK
-    R = ((ATTR_BASE + C + 7) // 8) * 8
     overflow = bins.overflow
 
     # packed attribute table gathered once in sorted-instance order; pad
@@ -627,19 +714,32 @@ def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
     # append it after the gather, so its discarded gradient never enters
     # gather_rows' sort+segment-sum adjoint (one sort operand fewer).
     gfeats = feats[:, :-1] if const_last_feat else feats
+    Cg = gfeats.shape[1]
+    feat_packed = feat_precision == "bf16"
+    if feat_packed:
+        # bf16-pair feature columns keep the common table at <= 8 f32
+        # columns — the faster gather class (see _unpack_feat_rows doc);
+        # the ones channel is synthesized IN-KERNEL, never stored
+        tbl_feats = pack_feats(gfeats, Cg)
+    else:
+        tbl_feats = gfeats
+    gathered_w = ATTR_BASE + tbl_feats.shape[1]
+    R = ((gathered_w + (0 if feat_packed else const_last_feat) + 7)
+         // 8) * 8
     table = jnp.concatenate(
-        [means2d, conic, opacity[:, None], gfeats], axis=1)
+        [means2d, conic, opacity[:, None], tbl_feats], axis=1)
     table = jnp.pad(table, ((0, 1), (0, 0)))                       # sentinel
     gid = jnp.minimum(bins.gauss_id, P)
     from gsplat_tpu.ops.segment_reduce import gather_rows
-    # Pad to R rows AFTER the gather: gather cost is per ROW (width-blind),
-    # and the pad's VJP slices the dead columns off BEFORE gather_rows'
-    # sort+segment-sum adjoint — 11-12 sort operands instead of 17.
-    attr = gather_rows(table, gid, interpret, grad_precision)      # [I, 6+C?]
-    if const_last_feat:
+    # Pad to R rows AFTER the gather: gather cost is per ROW (width-blind
+    # within an (8,128)-tile class), and the pad's VJP slices the dead
+    # columns off BEFORE gather_rows' sort+segment-sum adjoint.
+    attr = gather_rows(table, gid, interpret, grad_precision,
+                       tbl_feats.shape[1] if feat_packed else 0)
+    if const_last_feat and not feat_packed:
         ones = jnp.ones((attr.shape[0], 1), attr.dtype)
         attr = jnp.concatenate([attr, ones], axis=1)               # [I, 6+C]
-    attr = jnp.pad(attr, ((0, 0), (0, R - ATTR_BASE - C)))         # [I, R]
+    attr = jnp.pad(attr, ((0, 0), (0, R - attr.shape[1])))         # [I, R]
     attr = attr.reshape(NCH, CHUNK, R).swapaxes(1, 2)              # [NCH,R,CHUNK]
 
     # per-tile (first block, real count); starts are CHUNK-aligned by the
@@ -656,7 +756,8 @@ def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
     if pad_rows:
         ranges = jnp.pad(ranges, ((0, pad_rows), (0, 0)))
 
-    static = (grid_x, num_tiles, C, R, NCH, interpret, mxu_power)
+    fp = (feat_packed, Cg, bool(const_last_feat))
+    static = (grid_x, num_tiles, C, R, NCH, interpret, mxu_power, fp)
     packed = _composite_core(static, attr, jax.lax.stop_gradient(ranges))
 
     # ONE fused 5D transpose unpacks every channel (composited C + T_final)

@@ -58,6 +58,11 @@ class RasterizeConfig:
                                     # on the MXU (tile-relative basis matmul)
                                     # instead of VPU elementwise — see
                                     # composite_pallas._chunk_alpha
+    feat_precision: str = "f32"     # "bf16": pack the feature columns
+                                    # (rgb/depth/seg) of the gathered attr
+                                    # table as bf16 pairs — the <=8-column
+                                    # gather class, ~2.5 ms/step at 1080p;
+                                    # ~0.4% feature rounding (pallas only)
 
     @property
     def grid_x(self):
@@ -152,6 +157,7 @@ def rasterize(
             const_last_feat=not config.render_only,
             grad_precision=config.grad_precision,
             mxu_power=config.mxu_power,
+            feat_precision=config.feat_precision,
         )
     else:
         from gsplat_tpu.ops.composite_tiled import composite_tiled

@@ -160,9 +160,9 @@ def _unpack_bf16_pairs(p, R: int):
         jnp.float32)[:, :R]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def gather_rows(table, idx, interpret: bool = False,
-                grad_precision: str = "f32"):
+                grad_precision: str = "f32", packed_tail: int = 0):
     """``table[idx]`` with a sort+MXU-segment-sum adjoint instead of XLA's
     serial scatter-add.  table: [P, R]; idx: [I] int32 in [0, P).
 
@@ -172,27 +172,50 @@ def gather_rows(table, idx, interpret: bool = False,
     f32 on the MXU.  ~0.2% relative error on per-instance terms before an
     exact sum — the deliberate fast path for training (the CUDA reference
     accumulates f32 atomics; use the default "f32" for bitwise-grade
-    gradient parity)."""
+    gradient parity).
+
+    ``packed_tail=K``: the LAST K table columns carry bf16 PAIRS (two
+    logical values per f32 word, composite_pallas feat_precision="bf16") —
+    the convention extends to cotangents: the adjoint expects d_out's tail
+    columns packed the same way, unpacks them after the sort, segment-sums
+    the logical columns in f32, and re-packs the per-gaussian sums so the
+    returned d_table matches the primal table's layout."""
     return table[idx]
 
 
-def _gr_fwd(table, idx, interpret, grad_precision):
+def _gr_fwd(table, idx, interpret, grad_precision, packed_tail):
     return table[idx], (idx, table.shape[0])
 
 
-def _gr_bwd(interpret, grad_precision, res, d_out):
+def _gr_bwd(interpret, grad_precision, packed_tail, res, d_out):
     idx, P = res
     I, R = d_out.shape
+    plain = d_out[:, :R - packed_tail] if packed_tail else d_out
+    R_plain = plain.shape[1]
     if grad_precision == "bf16":
-        packed = _pack_bf16_pairs(d_out)
-        ops = (idx,) + tuple(packed[:, i] for i in range(packed.shape[1]))
-        s = jax.lax.sort(ops, num_keys=1)
-        vals = _unpack_bf16_pairs(jnp.stack(s[1:], axis=1), R)
+        plain_ops = _pack_bf16_pairs(plain)
     else:
-        ops = (idx,) + tuple(d_out[:, i] for i in range(R))
-        s = jax.lax.sort(ops, num_keys=1)
-        vals = jnp.stack(s[1:], axis=1)
+        plain_ops = plain
+    n_plain = plain_ops.shape[1]
+    cols = tuple(plain_ops[:, i] for i in range(n_plain))
+    if packed_tail:
+        cols = cols + tuple(d_out[:, R - packed_tail + i]
+                            for i in range(packed_tail))
+    s = jax.lax.sort((idx,) + cols, num_keys=1)
+    plain_sorted = jnp.stack(s[1:1 + n_plain], axis=1)
+    if grad_precision == "bf16":
+        vals = _unpack_bf16_pairs(plain_sorted, R_plain)
+    else:
+        vals = plain_sorted
+    if packed_tail:
+        tail_sorted = jnp.stack(s[1 + n_plain:], axis=1)
+        vals = jnp.concatenate(
+            [vals, _unpack_bf16_pairs(tail_sorted, 2 * packed_tail)], axis=1)
     d_table = segment_sum_sorted(vals, s[0], P, interpret=interpret)
+    if packed_tail:
+        d_table = jnp.concatenate(
+            [d_table[:, :R_plain],
+             _pack_bf16_pairs(d_table[:, R_plain:])], axis=1)
     return d_table, np.zeros(np.shape(idx), dtype=jax.dtypes.float0)
 
 

@@ -164,3 +164,49 @@ def test_mxu_power_forward_and_grad_parity(rng):
     for a, b in zip(gm, gv):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3, rtol=2e-3)
+
+
+def test_feat_precision_bf16_close_to_f32(rng):
+    """feat_precision="bf16" packs the feature table columns as bf16 pairs
+    (8-column gather class): image within bf16 rounding of the f32 path,
+    input gradients within the packed-cotangent rounding."""
+    import jax
+
+    from gsplat_tpu.ops.rasterize import RasterizeConfig, rasterize
+    from helpers import cam_args, make_camera, make_gaussians
+
+    cam = make_camera(64, 48)
+    g = make_gaussians(rng, n=150)
+    bg = jnp.array([0.2, 0.1, 0.3])
+
+    outs = {}
+    for fp in ("f32", "bf16"):
+        cfg = RasterizeConfig(width=64, height=48, max_instances=1 << 13,
+                              backend="pallas", feat_precision=fp)
+
+        def loss(g):
+            out = rasterize(cfg, g["means3d"], g["scales"], g["rotations"],
+                            g["opacities"], g["shs"], **cam_args(cam),
+                            bg=bg)
+            return (jnp.sum(out["render"] ** 2)
+                    + 0.1 * jnp.sum(out["depth"])), out
+        (l, out), grads = jax.value_and_grad(loss, has_aux=True)(g)
+        outs[fp] = (out, grads)
+
+    o0, g0 = outs["f32"]
+    o1, g1 = outs["bf16"]
+    # image: features rounded to bf16 (0.4% relative)
+    np.testing.assert_allclose(np.asarray(o1["render"]),
+                               np.asarray(o0["render"]),
+                               atol=6e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(o1["depth"]),
+                               np.asarray(o0["depth"]),
+                               atol=6e-2, rtol=1e-2)
+    # alpha/T_final only see geometry (f32) — bit-equal
+    np.testing.assert_array_equal(np.asarray(o1["T_final"]),
+                                  np.asarray(o0["T_final"]))
+    for k in g0:
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-2,
+                                   err_msg=f"grad {k}")
