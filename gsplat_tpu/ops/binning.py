@@ -51,6 +51,9 @@ class BinningOut(NamedTuple):
     tile_start: jnp.ndarray   # [T] int32 ALIGN-aligned start offset per tile
     tile_count: jnp.ndarray   # [T] int32 REAL instances per tile (pads excluded)
     num_rendered: jnp.ndarray # [] int32 true instance count (may exceed capacity)
+    num_padded: jnp.ndarray   # [] int32 true PADDED demand (instances +
+                              # per-tile alignment pads) — what capacity
+                              # sizing must actually cover
     overflow: jnp.ndarray     # [] bool capacity exceeded
 
 
@@ -352,6 +355,7 @@ def _bin_gaussians_culled(pre: PreprocessOut, grid_x: int, grid_y: int,
         tile_start=tile_start,
         tile_count=counts,
         num_rendered=num_rendered.astype(jnp.int32),
+        num_padded=total_padded.astype(jnp.int32),
         overflow=overflow,
     )
 
@@ -501,5 +505,6 @@ def bin_gaussians(pre: PreprocessOut, grid_x: int, grid_y: int,
         tile_start=tile_start,
         tile_count=counts,
         num_rendered=num_rendered.astype(jnp.int32),
+        num_padded=total_padded.astype(jnp.int32),
         overflow=overflow,
     )

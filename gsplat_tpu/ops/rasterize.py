@@ -175,6 +175,7 @@ def rasterize(
         "visibility": pre.visible,
         "overflow": overflow,
         "num_rendered": bins.num_rendered,
+        "num_padded": bins.num_padded,
         "T_final": T_final,
     }
     if config.render_only:

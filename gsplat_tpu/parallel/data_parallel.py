@@ -114,6 +114,7 @@ def make_parallel_train_step(mesh: Mesh, cfg: RasterizeConfig, opt,
             "overflow": jax.lax.pmax(
                 auxout["overflow"].astype(jnp.int32), "data"),
             "num_rendered": jax.lax.pmax(auxout["num_rendered"], "data"),
+            "num_padded": jax.lax.pmax(auxout["num_padded"], "data"),
             "n_visible": jax.lax.pmax(
                 jnp.sum(auxout["visibility"]).astype(jnp.int32), "data"),
         }

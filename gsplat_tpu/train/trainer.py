@@ -110,6 +110,7 @@ def make_loss_fn(cfg: RasterizeConfig, opt, sh_degree: int,
             "l1": l1, "depth_loss": depth_loss, "seg_loss": seg_loss,
             "radii": out["radii"], "visibility": out["visibility"],
             "overflow": out["overflow"], "num_rendered": out["num_rendered"],
+            "num_padded": out.get("num_padded", out["num_rendered"]),
             "render": image,
         }
         return loss, auxout
@@ -148,6 +149,7 @@ def make_appearance_step(cfg: RasterizeConfig, opt, sh_degree: int,
             "depth_loss": auxout["depth_loss"], "seg_loss": auxout["seg_loss"],
             "overflow": auxout["overflow"],
             "num_rendered": auxout["num_rendered"],
+            "num_padded": auxout["num_padded"],
             "n_visible": jnp.sum(auxout["visibility"]),
         }
         return params, opt_state, aux, app_params, app_opt_state, metrics
@@ -186,6 +188,7 @@ def make_train_step(cfg: RasterizeConfig, opt, sh_degree: int,
             "depth_loss": auxout["depth_loss"], "seg_loss": auxout["seg_loss"],
             "overflow": auxout["overflow"],
             "num_rendered": auxout["num_rendered"],
+            "num_padded": auxout["num_padded"],
             "n_visible": jnp.sum(auxout["visibility"]),
         }
         return params, opt_state, aux, metrics
@@ -304,8 +307,9 @@ class Trainer:
         self._pending = {}           # (sh, model_cap, max_inst) -> holder
         self._example_args = None
         from collections import deque
-        self._pending_checks = deque()   # (it, nr, overflow, max_inst)
+        self._pending_checks = deque()   # (it, npad, nr, overflow, max_i)
         self._check_interval = 1         # adaptive (see train loop)
+        self._resize_iter = -10**9       # shrink cooldown anchor
         # LRU cap on the per-camera device-batch cache.  Unbounded caching
         # (round-2 behavior) pins every camera's GT image (+depth/seg) in
         # HBM forever — at the reference's 1600px cap with a few hundred
@@ -545,19 +549,20 @@ class Trainer:
             # stepwise.  Metrics from before the last resize are stale —
             # skipped.
             self._pending_checks.append(
-                (it, metrics["num_rendered"], metrics["overflow"],
+                (it, metrics.get("num_padded", metrics["num_rendered"]),
+                 metrics["num_rendered"], metrics["overflow"],
                  self.max_instances))
             if it % self._check_interval == 0:
-                pads = 64 * self._cfg(0).grid_x * self._cfg(0).grid_y
                 while len(self._pending_checks) > 2:
-                    cit, p_nr, p_ov, p_mi = self._pending_checks.popleft()
+                    (cit, p_np, p_nr, p_ov,
+                     p_mi) = self._pending_checks.popleft()
                     if p_mi != self.max_instances:
                         continue
-                    nr, ov = int(p_nr), bool(p_ov)
-                    util = (nr + pads) / max(self.max_instances, 1)
+                    npad, ov = int(p_np), bool(p_ov)
+                    util = npad / max(self.max_instances, 1)
                     self._check_interval = (1 if ov or util > 0.8
                                             else 3 if util > 0.55 else 10)
-                    self._manage_capacity(cit, nr, ov)
+                    self._manage_capacity(cit, npad, ov)
 
             if it % log_every == 0 or it == iterations:
                 loss = float(metrics["loss"])
@@ -599,14 +604,14 @@ class Trainer:
                     if (alive_before and alive_after > alive_before
                             and self._example_args is not None):
                         growth = alive_after / alive_before
-                        last_nr = int(metrics["num_rendered"])
-                        predicted = int(last_nr * growth)
-                        pads = 64 * self._cfg(0).grid_x * self._cfg(0).grid_y
-                        if predicted + pads > 0.72 * self.max_instances:
+                        last_np = int(metrics.get(
+                            "num_padded", metrics["num_rendered"]))
+                        predicted = int(last_np * growth)
+                        if predicted > 0.72 * self.max_instances:
                             blk = 1 << 17
                             target = max(
                                 self.max_instances + blk,
-                                (int(predicted * 1.4) + pads + blk - 1)
+                                (int(predicted * 1.35) + blk - 1)
                                 // blk * blk)
                             self._precompile_async(m.active_sh_degree,
                                                    target)
@@ -649,30 +654,33 @@ class Trainer:
             self._batches.move_to_end(i)
         return b
 
-    def _manage_capacity(self, it, nr: int, overflow: bool):
+    def _manage_capacity(self, it, npad: int, overflow: bool):
         """Densification grows instance demand; regrow the fixed capacity
         (recompile) BEFORE overflow corrupts a step — and recover immediately
-        if one did overflow."""
+        if one did overflow.  ``npad`` is the TRUE padded demand (instances +
+        per-tile alignment pads) measured by the binning itself; estimating
+        pads host-side undershot badly in sparse regimes (few instances per
+        tile pad to a full chunk each) and caused shrink/overflow
+        oscillation."""
         m = self.model
-        pads = 64 * self._cfg(0).grid_x * self._cfg(0).grid_y
-        if not overflow and (
-                0.72 * self.max_instances < nr + pads
-                <= 0.9 * self.max_instances):
+        if not overflow and 0.72 * self.max_instances < npad \
+                <= 0.9 * self.max_instances:
             # densification is approaching the capacity ceiling — compile
             # the grown step in the background NOW so the 90% trigger below
             # swaps without a stall
             blk = 1 << 17
             target = max(self.max_instances + blk,
-                         (int(nr * 1.4) + pads + blk - 1) // blk * blk)
+                         (int(npad * 1.35) + blk - 1) // blk * blk)
             self._precompile_async(m.active_sh_degree, target)
-        if overflow or nr + pads > 0.9 * self.max_instances:
-            needed = int(nr * 1.4) + pads
+        if overflow or npad > 0.9 * self.max_instances:
+            needed = int(npad * 1.35)
             if overflow:
                 print(f"[it {it}] WARNING: instance capacity "
-                      f"overflow ({nr} rendered) — regrowing")
+                      f"overflow (padded demand {npad}) — regrowing")
             if self._try_adopt_pending(m.active_sh_degree, needed):
                 print(f"[it {it}] instance capacity -> "
                       f"{self.max_instances} (precompiled, stall-free)")
+                self._resize_iter = it
             elif overflow or not self._pending_inflight_covers(
                     m.active_sh_degree, needed):
                 # No adoptable background compile running: grow now
@@ -687,14 +695,16 @@ class Trainer:
                 if overflow:
                     needed = max(needed, 2 * self.max_instances)
                 self._resize_capacity(needed)
+                self._resize_iter = it
                 print(f"[it {it}] instance capacity -> {self.max_instances}")
-        elif nr + pads < 0.5 * self.max_instances and \
-                self.max_instances > (1 << 18):
-            # shrink toward ~60% utilization (wide hysteresis vs the 90%
-            # grow trigger so per-camera variation can't thrash) — matters
-            # when cull='exact' renders far fewer instances than the
-            # rect-based initial sizing
-            self._resize_capacity(int(nr * 1.6) + pads)
+        elif npad < 0.5 * self.max_instances and \
+                self.max_instances > (1 << 18) and \
+                it - self._resize_iter >= 200:
+            # shrink toward ~65% utilization — wide hysteresis vs the 90%
+            # grow trigger AND a 200-iteration cooldown after any resize so
+            # post-prune transients can't thrash the capacity
+            self._resize_capacity(int(npad * 1.5))
+            self._resize_iter = it
             print(f"[it {it}] instance capacity shrunk -> "
                   f"{self.max_instances}")
 
