@@ -310,6 +310,7 @@ class Trainer:
         self._pending_checks = deque()   # (it, npad, nr, overflow, max_i)
         self._check_interval = 1         # adaptive (see train loop)
         self._resize_iter = -10**9       # shrink cooldown anchor
+        self._reset_iter = -10**9        # last opacity reset (demand dip)
         # LRU cap on the per-camera device-batch cache.  Unbounded caching
         # (round-2 behavior) pins every camera's GT image (+depth/seg) in
         # HBM forever — at the reference's 1600px cap with a few hundred
@@ -618,6 +619,7 @@ class Trainer:
                 if it % opt.opacity_reset_interval == 0:
                     m.params, m.opt_state = reset_opacity(
                         m.params, m.aux, m.opt_state)
+                    self._reset_iter = it
 
             if it in save_iterations:
                 print(f"\n[ITER {it}] Saving Gaussians")
@@ -699,10 +701,15 @@ class Trainer:
                 print(f"[it {it}] instance capacity -> {self.max_instances}")
         elif npad < 0.5 * self.max_instances and \
                 self.max_instances > (1 << 18) and \
-                it - self._resize_iter >= 200:
+                it - self._resize_iter >= 200 and \
+                it - self._reset_iter >= 500:
             # shrink toward ~65% utilization — wide hysteresis vs the 90%
-            # grow trigger AND a 200-iteration cooldown after any resize so
-            # post-prune transients can't thrash the capacity
+            # grow trigger, a 200-iteration cooldown after any resize, AND
+            # a 500-iteration holdoff after opacity resets: the reset
+            # transiently halves instance demand (opacity-aware rects
+            # shrink at opacity 0.01) and it rebounds within ~100
+            # iterations — shrinking into the dip forces a paired regrow
+            # recompile (a multi-minute sync stall at 1600px)
             self._resize_capacity(int(npad * 1.5))
             self._resize_iter = it
             print(f"[it {it}] instance capacity shrunk -> "

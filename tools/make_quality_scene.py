@@ -32,14 +32,20 @@ def build_gt_cloud(rng):
         parts.append((xyz.astype(np.float32), rgb.astype(np.float32),
                       scale.astype(np.float32), opac.astype(np.float32)))
 
-    # floor: 90x90 grid of flat plates at y=-1.2, checkerboard texture
-    n = 90
+    # floor: 200x200 grid of flat plates at y=-1.2, checkerboard texture.
+    # Splat sizes are CAPTURE-REALISTIC for 1600px training (sigma ~0.02
+    # world -> <20 px screen radius): the reference's screen-size prune
+    # (gaussian_model.py:516, >20 px after the first opacity reset) cycles
+    # any coarser geometry wholesale — a 0.055-scale floor at this
+    # resolution gets 96% pruned at iteration 3100, exactly as the CUDA
+    # reference would.
+    n = 200
     gx, gz = np.meshgrid(np.linspace(-3, 3, n), np.linspace(-3, 3, n))
     xyz = np.stack([gx.ravel(), np.full(n * n, -1.2), gz.ravel()], 1)
     check = ((gx.ravel() * 3).astype(int) + (gz.ravel() * 3).astype(int)) % 2
     base = np.where(check[:, None], [0.75, 0.72, 0.65], [0.25, 0.28, 0.35])
     rgb = np.clip(base + rng.normal(0, 0.05, (n * n, 3)), 0, 1)
-    scale = np.tile([0.055, 0.006, 0.055], (n * n, 1))
+    scale = np.tile([0.022, 0.004, 0.022], (n * n, 1))
     add(xyz, rgb, scale, np.full(n * n, 0.92))
 
     # three striped blobs (dense sphere shells)
@@ -47,7 +53,7 @@ def build_gt_cloud(rng):
             (-1.0, -0.4, 0.3, 0.65, (0.85, 0.25, 0.2)),
             (0.9, -0.2, -0.5, 0.55, (0.2, 0.6, 0.85)),
             (0.1, 0.5, 0.8, 0.45, (0.3, 0.8, 0.3))]):
-        m = 7000
+        m = 14000
         v = rng.normal(size=(m, 3))
         v /= np.linalg.norm(v, axis=1, keepdims=True)
         rad = r * (0.82 + 0.18 * rng.uniform(size=(m, 1)))
@@ -56,20 +62,20 @@ def build_gt_cloud(rng):
         rgb = np.clip(np.array(hue) * stripes[:, None]
                       + 0.15 * rng.uniform(size=(m, 3)), 0, 1)
         # tangentially elongated: random small anisotropic scales
-        scale = np.exp(rng.normal(0, 0.4, (m, 3))) * 0.022
-        scale[:, 0] *= 2.5  # anisotropy for the ellipse cull to exploit
+        scale = np.exp(rng.normal(0, 0.4, (m, 3))) * 0.009
+        scale[:, 0] *= 2.2  # anisotropy for the ellipse cull to exploit
         add(xyz, rgb, scale, rng.uniform(0.65, 0.95, m))
 
     # thin vertical rods
     for rx, rz in [(-2.0, -1.5), (1.8, 1.4), (-1.6, 1.9), (2.1, -1.8)]:
-        m = 900
+        m = 1800
         y = np.linspace(-1.2, 0.9, m)
         xyz = np.stack([np.full(m, rx) + rng.normal(0, 0.01, m), y,
                         np.full(m, rz) + rng.normal(0, 0.01, m)], 1)
         rgb = np.clip(np.stack([0.5 + 0.5 * np.sin(8 * y),
                                 np.full(m, 0.4),
                                 0.5 + 0.5 * np.cos(8 * y)], 1), 0, 1)
-        scale = np.tile([0.012, 0.05, 0.012], (m, 1))
+        scale = np.tile([0.008, 0.022, 0.008], (m, 1))
         add(xyz, rgb, scale, np.full(m, 0.9))
 
     xyz = np.concatenate([p[0] for p in parts])

@@ -47,12 +47,13 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--n_cams", type=int, default=32)
+    ap.add_argument("--n_init_points", type=int, default=8000)
     ap.add_argument("--out", default="docs/QUALITY_r2.json")
     ap.add_argument("--skip_scene", action="store_true",
                     help="reuse an existing --scene directory")
-    ap.add_argument("--train_args", nargs="*", default=[],
-                    help="extra flags forwarded to scripts.train "
-                         "(e.g. --densify_grad_threshold 0.00013)")
+    ap.add_argument("--train_args", action="append", default=[],
+                    help="extra flag token forwarded to scripts.train; "
+                         "repeatable (use = form: --train_args=--flag)")
     args = ap.parse_args()
 
     py = [sys.executable]
@@ -62,14 +63,36 @@ def main():
         t_scene = run(py + ["tools/make_quality_scene.py", "--out",
                             args.scene, "--width", str(args.width),
                             "--height", str(args.height),
-                            "--n_cams", str(args.n_cams)])
+                            "--n_cams", str(args.n_cams),
+                            "--n_init_points", str(args.n_init_points)])
 
-    t_train = run(py + ["-m", "gsplat_tpu.scripts.train",
-                        "-s", args.scene, "-m", args.model, "--eval",
-                        "--iterations_override", str(args.iters),
-                        "--test_iterations"] + [str(i) for i in test_iters]
-                  + ["--save_iterations"] + [str(i) for i in test_iters]
-                  + ["--disable_gui_server"] + list(args.train_args))
+    # Fault tolerance the reference lacks (SURVEY §5): the remote TPU
+    # transport can throw spurious backend errors under compile churn —
+    # resume from the newest checkpoint instead of restarting from zero.
+    import glob as _glob
+    import re as _re
+    base_cmd = (py + ["-m", "gsplat_tpu.scripts.train",
+                      "-s", args.scene, "-m", args.model, "--eval",
+                      "--iterations_override", str(args.iters),
+                      "--test_iterations"] + [str(i) for i in test_iters]
+                + ["--save_iterations"] + [str(i) for i in test_iters]
+                + ["--disable_gui_server"] + list(args.train_args))
+    t_train = 0.0
+    for attempt in range(3):
+        cmd = list(base_cmd)
+        ckpts = sorted(
+            _glob.glob(os.path.join(args.model, "chkpnt*.npz")),
+            key=lambda f: int(_re.search(r"chkpnt(\d+)", f).group(1)))
+        if attempt and ckpts:
+            cmd += ["--start_checkpoint", ckpts[-1]]
+            print(f"[retry {attempt}] resuming from {ckpts[-1]}")
+        try:
+            t_train += run(cmd)
+            break
+        except subprocess.CalledProcessError:
+            if attempt == 2 or not (ckpts or attempt < 2):
+                raise
+            print(f"[retry {attempt}] train crashed — retrying")
 
     t_render = 0.0
     for it in test_iters:
