@@ -103,7 +103,7 @@ def main():
         max_inst = ((int(need * 1.005) + (1 << 17) - 1) >> 17) << 17
     print(f"# instances={nr0} capacity={max_inst} cull={cull}",
           file=sys.stderr, flush=True)
-    feat_prec = os.environ.get("BENCH_FEAT", "f32")
+    feat_prec = os.environ.get("BENCH_FEAT", "bf16")
     cfg = RasterizeConfig(width=W, height=H, max_instances=max_inst,
                           backend="auto", grad_precision="bf16", cull=cull,
                           feat_precision=feat_prec)

@@ -120,6 +120,7 @@ class PerformanceParams(ParamGroup):
                                      # data x tile mesh
         self.profile_dir = ""        # jax.profiler trace output dir
         self.grad_precision = "bf16"  # bf16 | f32 per-instance grad rows
+        self.feat_precision = "bf16"  # bf16 | f32 attr-table feature cols
         self.cull = "none"           # none | exact ellipse-tile culling
         self.low_memory = False      # lazy GT decode (bounded host RAM)
         self.gt_cache = 0            # LRU cap on cached GT device batches

@@ -134,6 +134,7 @@ def main(argv=None):
         max_instances=args.max_instances, model_path=args.model_path,
         gui_source_path=gui_source,
         grad_precision=getattr(args, "grad_precision", "bf16"),
+        feat_precision=getattr(args, "feat_precision", "bf16"),
         cull=getattr(args, "cull", "none"),
         data_parallel=getattr(args, "data_parallel", 1),
         tile_parallel=getattr(args, "tile_parallel", 1),

@@ -205,7 +205,7 @@ class Trainer:
                  max_instances=0, seed=0, model_path=None,
                  gui_source_path=None, grad_precision="bf16", cull="none",
                  data_parallel=1, use_appearance=False, tile_parallel=1,
-                 gt_cache=0):
+                 gt_cache=0, feat_precision="bf16"):
         # grad_precision: per-instance gradient rows rounded to bf16 before
         # the exact f32 per-gaussian sum (halves the reduce-sort payload,
         # ~0.2% relative rounding on individual terms — the training
@@ -293,11 +293,17 @@ class Trainer:
         self.key = jax.random.PRNGKey(seed)
         self.lr_fn = make_lr_fn(opt, model.spatial_lr_scale)
         self._steps = {}
+        # feat_precision="bf16" is the training default alongside the
+        # bf16 grad reduce: feature columns (rgb/depth/seg) packed as bf16
+        # pairs keep the attr table in the fast 8-column gather class
+        # (bench 21.3 -> 22.6 Mpix/s); ~0.4% feature rounding, under half
+        # an 8-bit output LSB.  Pass "f32" for bitwise-grade parity runs.
         self._cfg = lambda sh, mi=None: RasterizeConfig(
             width=W, height=H, sh_degree=sh,
             num_class=model.num_class if use_seg else 0,
             max_instances=mi if mi else self.max_instances, backend=backend,
-            grad_precision=grad_precision, cull=cull)
+            grad_precision=grad_precision, cull=cull,
+            feat_precision=feat_precision)
         self.ema_loss = 0.0
         self.gui_source_path = gui_source_path  # enables SIBR socket polling
         # compile-ahead state: capacity growth and SH-degree bumps recompile
