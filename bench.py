@@ -176,7 +176,7 @@ def main():
     max_inst_r = ((int(nr0 * 1.25) + (1 << 17) - 1) >> 17) << 17
     cfg_r = RasterizeConfig(width=W, height=H, max_instances=max_inst_r,
                             backend="auto", cull="none",
-                            render_only=True)
+                            render_only=True, feat_precision=feat_prec)
 
     @jax.jit
     def render_only(g):

@@ -96,7 +96,7 @@ def main():
         cap = (cap + 127) // 128 * 128
         cfg = RasterizeConfig(width=W, height=H, max_instances=cap,
                               backend="auto", grad_precision="bf16",
-                              cull=cull)
+                              cull=cull, feat_precision="bf16")
 
         @jax.jit
         def fwdbwd(g):
@@ -112,7 +112,8 @@ def main():
         t = timed(fwdbwd, g, iters=args.iters)
 
         cfg_r = RasterizeConfig(width=W, height=H, max_instances=cap,
-                                backend="auto", cull=cull, render_only=True)
+                                backend="auto", cull=cull, render_only=True,
+                                feat_precision="bf16")
 
         @jax.jit
         def render_only(g):
