@@ -104,9 +104,10 @@ def main():
     print(f"# instances={nr0} capacity={max_inst} cull={cull}",
           file=sys.stderr, flush=True)
     feat_prec = os.environ.get("BENCH_FEAT", "bf16")
+    mxu_power = os.environ.get("BENCH_MXU_POWER", "1") == "1"
     cfg = RasterizeConfig(width=W, height=H, max_instances=max_inst,
                           backend="auto", grad_precision="bf16", cull=cull,
-                          feat_precision=feat_prec)
+                          feat_precision=feat_prec, mxu_power=mxu_power)
 
     @jax.jit
     def fwd(g):

@@ -303,7 +303,7 @@ class Trainer:
             num_class=model.num_class if use_seg else 0,
             max_instances=mi if mi else self.max_instances, backend=backend,
             grad_precision=grad_precision, cull=cull,
-            feat_precision=feat_precision)
+            feat_precision=feat_precision, mxu_power=True)
         self.ema_loss = 0.0
         self.gui_source_path = gui_source_path  # enables SIBR socket polling
         # compile-ahead state: capacity growth and SH-degree bumps recompile

@@ -66,7 +66,10 @@ if pad_rows:
 
 num_tiles = cfg.grid_x * cfg.grid_y
 NCH = MI // cp.CHUNK
-static = (cfg.grid_x, num_tiles, C, R, NCH, False, False)
+import os as _os
+MXU_POWER = _os.environ.get("AB_MXU_POWER", "0") == "1"
+static = (cfg.grid_x, num_tiles, C, R, NCH, False, MXU_POWER,
+          (False, C - 1, True))
 
 fwd = jax.jit(lambda a, r: cp._pallas_forward(static, a, r))
 packed = fwd(attr, ranges)
