@@ -81,25 +81,32 @@ def main():
     # the CULLED demand is what makes it pay (Trainer does the same via its
     # shrink logic), so measure the culled count first.
     cull = os.environ.get("BENCH_CULL", "exact")
-    if cull == "exact":
-        from gsplat_tpu.ops import binning as bin_lib
-        gx, gy = (W + 15) // 16, (H + 15) // 16
+    from gsplat_tpu.ops import binning as bin_lib
+    gx, gy = (W + 15) // 16, (H + 15) // 16
 
+    def padded_demand(cull_mode):
+        """Exact post-binning instance demand (pad-inline 128-aligned
+        segments) for this scene+camera — the raw tiles_touched sum
+        undercounts by the per-tile alignment pad, so tight capacities
+        must be sized from THIS number (overflow flag still guards)."""
         @jax.jit
-        def count_culled(g):
+        def count(g):
             pre = pre_lib.preprocess(
                 g["means3d"], g["scales"], g["rotations"], g["opacities"],
                 g["shs"], 3, cam_kw["viewmatrix"], cam_kw["projmatrix"],
                 cam_kw["campos"], cam_kw["tan_fovx"], cam_kw["tan_fovy"],
                 W, H)
             bins = bin_lib.bin_gaussians(pre, gx, gy, max_inst, align=128,
-                                         cull="exact")
+                                         cull=cull_mode)
             padded = bins.tile_count + (-bins.tile_count) % 128
             return jnp.sum(padded)
-        # the count is exact for THIS scene+camera, so size tightly (the
-        # overflow flag still guards) — every capacity slot costs ~5 ns/step
-        # across the gather/sorts/expansion
-        need = int(count_culled(g))
+        return int(count(g))
+
+    if cull == "exact":
+        # the count is exact for THIS scene+camera, so size tightly —
+        # every capacity slot costs ~5 ns/step across the
+        # gather/sorts/expansion
+        need = padded_demand("exact")
         max_inst = ((int(need * 1.005) + (1 << 17) - 1) >> 17) << 17
     print(f"# instances={nr0} capacity={max_inst} cull={cull}",
           file=sys.stderr, flush=True)
@@ -172,9 +179,12 @@ def main():
     # rgb-only feats, tight capacity — the config a deployed renderer would
     # use (upstream bar: >=30 fps 1080p forward).  cull="none" here: the
     # exact-cull machinery only pays off when the BACKWARD's
-    # instance-indexed costs shrink too; forward-only it measured 18.5 vs
-    # 17.8 fps (r3) — but the capacity must then cover the UNCULLED demand.
-    max_inst_r = ((int(nr0 * 1.25) + (1 << 17) - 1) >> 17) << 17
+    # instance-indexed costs shrink too (A/B in tools/bench_render_caps.py:
+    # exact+tight 20.0 fps vs none 20.4-22 fps) — but the capacity must
+    # then cover the UNCULLED PADDED demand (raw tiles_touched undercounts
+    # the per-tile alignment pad and silently drops instances).
+    max_inst_r = ((int(padded_demand("none") * 1.005)
+                   + (1 << 17) - 1) >> 17) << 17
     cfg_r = RasterizeConfig(width=W, height=H, max_instances=max_inst_r,
                             backend="auto", cull="none",
                             render_only=True, feat_precision=feat_prec)
@@ -210,6 +220,24 @@ def main():
     # rather than reporting a nonsense rate
     t_prep = max(t_prep, 2e-4)
 
+    # Trained-scene extras (VERDICT r2 item 3): the A6000 30 fps baseline is
+    # a real-scene number, and trained anisotropic scenes have very different
+    # instance statistics from the 500k-random stress scene above (fewer,
+    # larger, exact-cullable splats).  If the committed trained-PLY asset is
+    # present (assets/trained_scene.ply — a full quality-protocol training
+    # run, reproduce via tools/run_quality_eval.py), measure the same 1080p
+    # metrics on it and report them as extras; the stress-scene number stays
+    # the headline.
+    trained = {}
+    ply = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "assets", "trained_scene.ply")
+    if os.path.exists(ply):
+        try:
+            trained = bench_trained_ply(ply, W, H, cam_kw, tgt, timed, sync)
+        except Exception as e:  # asset bench must never sink the headline
+            print(f"# trained-scene bench failed: {e!r}", file=sys.stderr,
+                  flush=True)
+
     mpix = W * H / 1e6
     value = mpix / t_fb
     baseline = 62.2  # A6000 30fps@1080p forward-only proxy
@@ -226,7 +254,98 @@ def main():
         "overflow": bool(ovf),
         "n_gaussians": N,
         "backend": jax.default_backend(),
+        **trained,
     }))
+
+
+def bench_trained_ply(ply, W, H, cam_kw, tgt, timed, sync):
+    """1080p fwd+bwd / render-only on a trained (quality-protocol) scene.
+
+    Same canonical camera as tools/bench_trained_scene.py (the quality
+    scene sits near the origin).  cull="exact" + tight capacity is the
+    Trainer's own deployed configuration for trained scenes.
+    """
+    import math
+    import time
+
+    from gsplat_tpu.core import transforms as T
+    from gsplat_tpu.core.cameras import Camera
+    from gsplat_tpu.models.gaussians import GaussianModel
+    from gsplat_tpu.ops import binning as bin_lib
+    from gsplat_tpu.ops import preprocess as pre_lib
+    from gsplat_tpu.ops.rasterize import RasterizeConfig, rasterize
+
+    m = GaussianModel(3, num_class=2, capacity=1 << 20)
+    m.load_ply(ply)
+    p = m.params
+    g = dict(
+        means3d=p.xyz,
+        scales=T.scaling_activation(p.scaling),
+        rotations=p.rotation,
+        opacities=T.opacity_activation(p.opacity[:, 0]),
+        shs=jnp.concatenate([p.features_dc, p.features_rest], axis=1),
+    )
+    fovx = math.radians(62.0)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
+    cam = Camera(colmap_id=0, R=np.eye(3), T=np.array([0.0, 0.6, 4.2]),
+                 FoVx=fovx, FoVy=fovy,
+                 image=np.zeros((3, H, W), np.float32), image_name="t",
+                 uid=0)
+    ckw = dict(cam_kw)
+    ckw.update(viewmatrix=jnp.asarray(cam.world_view_transform),
+               projmatrix=jnp.asarray(cam.full_proj_transform),
+               campos=jnp.asarray(cam.camera_center))
+    gx, gy = (W + 15) // 16, (H + 15) // 16
+
+    @jax.jit
+    def count(g):
+        pre = pre_lib.preprocess(
+            g["means3d"], g["scales"], g["rotations"], g["opacities"],
+            g["shs"], 3, ckw["viewmatrix"], ckw["projmatrix"],
+            ckw["campos"], ckw["tan_fovx"], ckw["tan_fovy"], W, H)
+        bins = bin_lib.bin_gaussians(pre, gx, gy, 4 << 20, align=128,
+                                     cull="exact")
+        padded = bins.tile_count + (-bins.tile_count) % 128
+        return jnp.sum(padded)
+
+    need = int(count(g))
+    cap = max(1 << 17, ((int(need * 1.01) + (1 << 16) - 1) >> 16) << 16)
+    cfg = RasterizeConfig(width=W, height=H, max_instances=cap,
+                          backend="auto", grad_precision="bf16",
+                          cull="exact", feat_precision="bf16",
+                          mxu_power=True)
+
+    @jax.jit
+    def fwdbwd(g):
+        def loss(g):
+            out = rasterize(cfg, g["means3d"], g["scales"], g["rotations"],
+                            g["opacities"], g["shs"], **ckw)
+            return (jnp.mean(jnp.abs(out["render"] - tgt))
+                    + 0.1 * jnp.mean(out["depth"]))
+        return jax.value_and_grad(loss)(g)[0]
+
+    cfg_r = RasterizeConfig(width=W, height=H, max_instances=cap,
+                            backend="auto", cull="exact", render_only=True,
+                            feat_precision="bf16")
+
+    @jax.jit
+    def render_only(g):
+        return rasterize(cfg_r, g["means3d"], g["scales"], g["rotations"],
+                         g["opacities"], g["shs"], **ckw)["render"]
+
+    t0 = time.perf_counter()
+    sync(fwdbwd(g)); sync(render_only(g))
+    print(f"# trained-scene compile {time.perf_counter() - t0:.0f}s "
+          f"instances={need}", file=sys.stderr, flush=True)
+    t_fb, _ = timed(fwdbwd, g)
+    t_ro, _ = timed(render_only, g)
+    mpix = W * H / 1e6
+    return {
+        "trained_fwdbwd_mpix_per_s": round(mpix / t_fb, 2),
+        f"trained_render_fps_{H}p": round(1.0 / t_ro, 1),
+        "trained_n_gaussians": int(m.num_alive),
+        "trained_instances": need,
+    }
 
 
 if __name__ == "__main__":

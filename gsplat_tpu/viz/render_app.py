@@ -10,8 +10,9 @@ Interactive-session parity with the taichi visualizer's keyframe->video
 workflow (visualizer.py:436-499): ``,``/``.`` capture/remove camera
 keyframes, SPACE toggles a LIVE slerp path preview (each refresh advances
 one interpolated pose), ``y`` exports the path as poses_render.npy + an mp4,
-and ``p`` toggles the projections overlay (scene-camera + keyframe frusta +
-preview path, visualizer.py:559-716).
+``p`` toggles the projections overlay (scene-camera + keyframe frusta +
+preview path, visualizer.py:559-716), and ``b`` toggles the camera-bounds
+limit mode (visualizer.py:365-374, made functional — see handle_key).
 """
 from __future__ import annotations
 
@@ -30,7 +31,7 @@ _CLIENT_HTML = """<!doctype html><html><head><meta charset="utf-8">
 <p>keys: w/s forward/back &nbsp; a/d left/right &nbsp; q/e up/down &nbsp;
 i/k pitch &nbsp; j/l yaw &nbsp; m cycle mode<br>
 , capture keyframe &nbsp; . drop keyframe &nbsp; SPACE preview path &nbsp;
-y export video &nbsp; p projections overlay</p>
+y export video &nbsp; p projections overlay &nbsp; b camera-bounds limit</p>
 <img id="v" width="80%%"/>
 <script>
 const img = document.getElementById('v');
@@ -75,6 +76,11 @@ _FRUSTUM_EDGES = [(0, 1), (0, 2), (0, 3), (0, 4),
                   (1, 2), (2, 3), (3, 4), (4, 1)]
 
 
+def _cam_center(world_view: np.ndarray) -> np.ndarray:
+    """c2w translation of a row-vector world_view matrix."""
+    return np.linalg.inv(np.asarray(world_view, np.float64).T)[:3, 3]
+
+
 class RenderServer:
     """Holds the model + camera state and serves rendered frames."""
 
@@ -109,6 +115,13 @@ class RenderServer:
         self._preview_poses = None
         self._preview_i = 0
         self.overlay = False
+        # camera-bounds "limit mode" (visualizer.py:365-374 — latent in the
+        # reference: cam_pan_bbox is initialized to None at :169 and never
+        # assigned, so its in-bbox test is dead code; here `b` builds the
+        # bounds from the scene cameras and makes the mode functional)
+        self.limit = False
+        self.cam_bounds = None       # (lo[3], hi[3]) over c2w centers
+        self.outbound = False        # last move was rejected (red border)
         self.scene_cams = [np.array(c.world_view_transform)
                            for c in (scene_cams or [])]
         self.out_dir = out_dir
@@ -140,15 +153,30 @@ class RenderServer:
         if key == "y":
             self.export_video()
             return
+        if key == "b":
+            self.limit = not self.limit
+            if self.limit and self.cam_bounds is None and self.scene_cams:
+                centers = np.stack([_cam_center(wv)
+                                    for wv in self.scene_cams])
+                lo, hi = centers.min(0), centers.max(0)
+                pad = 0.25 * np.maximum(hi - lo, 1e-3)
+                self.cam_bounds = (lo - pad, hi + pad)
+            return
         action = self.KEY_ACTIONS.get(key)
         if action is None:
             return
         self.preview = False  # any motion key cancels the path preview
         kind, arg = action
         if kind == "translate":
-            self.world_view = traj.translate(
-                self.world_view, step=self.step,
-                **{k: v for k, v in arg.items()})
+            nxt = traj.translate(self.world_view, step=self.step,
+                                 **{k: v for k, v in arg.items()})
+            if self.limit and self.cam_bounds is not None:
+                c = _cam_center(nxt)
+                lo, hi = self.cam_bounds
+                self.outbound = bool(np.any(c < lo) or np.any(c > hi))
+                if self.outbound:   # reject the move (visualizer.py:369-374)
+                    return
+            self.world_view = nxt
         else:
             self.world_view = traj.rotate(self.world_view, arg[0], arg[1])
 
@@ -239,6 +267,10 @@ class RenderServer:
             frame = np.repeat(frame[..., None], 3, axis=-1)
         if self.overlay:
             frame = self._draw_overlay(frame, np.asarray(wv, np.float32))
+        if self.outbound:           # rejected move: flash a red border
+            frame[:3, :] = frame[-3:, :] = [1.0, 0.15, 0.15]
+            frame[:, :3] = frame[:, -3:] = [1.0, 0.15, 0.15]
+            self.outbound = False
         buf = io.BytesIO()
         Image.fromarray((np.clip(frame, 0, 1) * 255).astype(np.uint8)).save(
             buf, "PNG")

@@ -282,6 +282,46 @@ def test_render_app_keyframe_workflow(tmp_path, rng):
     assert len(srv.keyframes) == 1
 
 
+def test_render_app_limit_mode(rng):
+    """Camera-bounds limit mode (visualizer.py:365-374, latent in the
+    reference): with `b` on, translations that leave the scene-camera
+    bounds are rejected and flagged; rotations stay free."""
+    from gsplat_tpu.models.gaussians import GaussianModel
+    from gsplat_tpu.viz.render_app import RenderServer, _cam_center
+    from helpers import make_camera
+
+    m = GaussianModel(2, num_class=2, capacity=128)
+    pts = rng.standard_normal((20, 3)).astype(np.float32)
+    m.create_from_pcd(pts, rng.uniform(size=(20, 3)).astype(np.float32), 1.0)
+
+    cam = make_camera(32, 24)
+    srv = RenderServer(m, cam, backend="jnp", scene_cams=[cam])
+    srv.handle_key("b")
+    assert srv.limit and srv.cam_bounds is not None
+
+    # one scene camera -> bounds are a small pad box; any real move exits
+    wv0 = srv.world_view.copy()
+    srv.handle_key("w")
+    assert np.allclose(srv.world_view, wv0)      # move rejected
+    assert srv.outbound
+
+    # red-border feedback renders, then clears the flag
+    assert srv.render_png()[:4] == b"\x89PNG"
+    assert not srv.outbound
+
+    # rotation is never limited
+    srv.handle_key("l")
+    assert not np.allclose(srv.world_view, wv0)
+
+    # toggling off restores free motion
+    srv.handle_key("b")
+    assert not srv.limit
+    srv.handle_key("w")
+    c_after = _cam_center(srv.world_view)
+    lo, hi = srv.cam_bounds
+    assert np.any(c_after < lo) or np.any(c_after > hi)
+
+
 def test_set_video_with_depth_pane(tmp_path):
     """Depth-composited set video (reference composite_video.py:35-52):
     renders+depth side-by-side frames, mp4 (or frame-dir fallback)."""
