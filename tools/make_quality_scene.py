@@ -22,38 +22,54 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_gt_cloud(rng):
+# semantic classes for the GT segment maps (class 0 = background):
+# 1 = floor, 2/3/4 = the three blobs, 5 = rods
+NUM_CLASSES = 6
+
+
+def build_gt_cloud(rng, floor_n=200, blob_m=14000, checker_freq=3.0):
     """Structured anisotropic cloud: checkered floor + striped blobs + thin
     rods — anisotropy and high-frequency texture make densification and the
-    exact ellipse cull do real work."""
+    exact ellipse cull do real work.  Each gaussian carries a semantic class
+    id (NUM_CLASSES above) so the generator can render GT segment maps.
+
+    ``floor_n``/``blob_m``/``checker_freq`` scale the GT density and texture
+    frequency: the r4 protocol scene uses a denser, higher-frequency variant
+    so trained gaussians stay under the reference's 20-px screen-size prune
+    (gaussian_model.py:516) at the 1600px training cap and the post-reset
+    prune keeps <30% instead of cycling 84% of the model (VERDICT r3)."""
     parts = []
 
-    def add(xyz, rgb, scale, opac):
+    def add(xyz, rgb, scale, opac, cls):
         parts.append((xyz.astype(np.float32), rgb.astype(np.float32),
-                      scale.astype(np.float32), opac.astype(np.float32)))
+                      scale.astype(np.float32), opac.astype(np.float32),
+                      np.full(len(xyz), cls, np.int32)))
 
-    # floor: 200x200 grid of flat plates at y=-1.2, checkerboard texture.
+    # floor: floor_n x floor_n grid of flat plates at y=-1.2, checkerboard.
     # Splat sizes are CAPTURE-REALISTIC for 1600px training (sigma ~0.02
     # world -> <20 px screen radius): the reference's screen-size prune
     # (gaussian_model.py:516, >20 px after the first opacity reset) cycles
     # any coarser geometry wholesale — a 0.055-scale floor at this
     # resolution gets 96% pruned at iteration 3100, exactly as the CUDA
     # reference would.
-    n = 200
+    n = floor_n
+    spacing = 6.0 / (n - 1)
     gx, gz = np.meshgrid(np.linspace(-3, 3, n), np.linspace(-3, 3, n))
     xyz = np.stack([gx.ravel(), np.full(n * n, -1.2), gz.ravel()], 1)
-    check = ((gx.ravel() * 3).astype(int) + (gz.ravel() * 3).astype(int)) % 2
+    check = ((gx.ravel() * checker_freq).astype(int)
+             + (gz.ravel() * checker_freq).astype(int)) % 2
     base = np.where(check[:, None], [0.75, 0.72, 0.65], [0.25, 0.28, 0.35])
     rgb = np.clip(base + rng.normal(0, 0.05, (n * n, 3)), 0, 1)
-    scale = np.tile([0.022, 0.004, 0.022], (n * n, 1))
-    add(xyz, rgb, scale, np.full(n * n, 0.92))
+    s_flat = min(0.022, 0.75 * spacing)
+    scale = np.tile([s_flat, 0.004, s_flat], (n * n, 1))
+    add(xyz, rgb, scale, np.full(n * n, 0.92), 1)
 
     # three striped blobs (dense sphere shells)
     for ci, (cx, cy, cz, r, hue) in enumerate([
             (-1.0, -0.4, 0.3, 0.65, (0.85, 0.25, 0.2)),
             (0.9, -0.2, -0.5, 0.55, (0.2, 0.6, 0.85)),
             (0.1, 0.5, 0.8, 0.45, (0.3, 0.8, 0.3))]):
-        m = 14000
+        m = blob_m
         v = rng.normal(size=(m, 3))
         v /= np.linalg.norm(v, axis=1, keepdims=True)
         rad = r * (0.82 + 0.18 * rng.uniform(size=(m, 1)))
@@ -62,9 +78,10 @@ def build_gt_cloud(rng):
         rgb = np.clip(np.array(hue) * stripes[:, None]
                       + 0.15 * rng.uniform(size=(m, 3)), 0, 1)
         # tangentially elongated: random small anisotropic scales
-        scale = np.exp(rng.normal(0, 0.4, (m, 3))) * 0.009
+        s_blob = 0.009 * math.sqrt(14000.0 / m)
+        scale = np.exp(rng.normal(0, 0.4, (m, 3))) * s_blob
         scale[:, 0] *= 2.2  # anisotropy for the ellipse cull to exploit
-        add(xyz, rgb, scale, rng.uniform(0.65, 0.95, m))
+        add(xyz, rgb, scale, rng.uniform(0.65, 0.95, m), 2 + ci)
 
     # thin vertical rods
     for rx, rz in [(-2.0, -1.5), (1.8, 1.4), (-1.6, 1.9), (2.1, -1.8)]:
@@ -76,20 +93,21 @@ def build_gt_cloud(rng):
                                 np.full(m, 0.4),
                                 0.5 + 0.5 * np.cos(8 * y)], 1), 0, 1)
         scale = np.tile([0.008, 0.022, 0.008], (m, 1))
-        add(xyz, rgb, scale, np.full(m, 0.9))
+        add(xyz, rgb, scale, np.full(m, 0.9), 5)
 
     xyz = np.concatenate([p[0] for p in parts])
     rgb = np.concatenate([p[1] for p in parts])
     scale = np.concatenate([p[2] for p in parts])
     opac = np.concatenate([p[3] for p in parts])
+    cls = np.concatenate([p[4] for p in parts])
     # random rotations
     quat = rng.normal(size=(len(xyz), 4)).astype(np.float32)
-    return xyz, rgb, scale, quat, opac
+    return xyz, rgb, scale, quat, opac, cls
 
 
-def orbit_camera(i, n, height_band):
+def orbit_camera(i, n, height_band, orbit_radius=4.2):
     ang = 2 * math.pi * i / n + 0.13 * height_band
-    radius = 4.2 - 0.3 * height_band
+    radius = orbit_radius - 0.3 * height_band
     y = 0.35 + 0.8 * height_band
     campos = np.array([radius * math.sin(ang), y, radius * math.cos(ang)])
     fwd = -campos / np.linalg.norm(campos)
@@ -112,6 +130,12 @@ def main(argv=None):
     ap.add_argument("--n_init_points", type=int, default=8000)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--floor_n", type=int, default=200)
+    ap.add_argument("--blob_m", type=int, default=14000)
+    ap.add_argument("--checker_freq", type=float, default=3.0)
+    ap.add_argument("--orbit_radius", type=float, default=4.2)
+    ap.add_argument("--init_noise", type=float, default=0.02)
+    ap.add_argument("--capacity", type=int, default=1 << 21)
     args = ap.parse_args(argv)
 
     import jax
@@ -126,21 +150,33 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     W, H = args.width, args.height
     os.makedirs(os.path.join(args.out, "images"), exist_ok=True)
+    # GT supervision siblings consumed by the dataset readers
+    # (readers.py:152-153 looks up depth/ + segment/ by name substitution;
+    # the reference's are DPT inverse-depth 16-bit PNGs and per-pixel class
+    # label PNGs, run_monodepth.py + train_segment.py:56-60)
+    os.makedirs(os.path.join(args.out, "depth"), exist_ok=True)
+    os.makedirs(os.path.join(args.out, "segment"), exist_ok=True)
     sparse = os.path.join(args.out, "sparse", "0")
     os.makedirs(sparse, exist_ok=True)
 
-    xyz, rgb, scale, quat, opac = build_gt_cloud(rng)
+    xyz, rgb, scale, quat, opac, cls = build_gt_cloud(
+        rng, floor_n=args.floor_n, blob_m=args.blob_m,
+        checker_freq=args.checker_freq)
     P = len(xyz)
     print(f"GT cloud: {P} gaussians")
     shs = np.zeros((P, 16, 3), np.float32)
     shs[:, 0] = np.asarray(sh_lib.rgb_to_sh(rgb))
+    # one-hot class probabilities for the composited segment channels
+    seg_onehot = np.zeros((P, NUM_CLASSES), np.float32)
+    seg_onehot[np.arange(P), cls] = 1.0
 
     fovx = math.radians(62.0)
     fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
     fl_x, fl_y = fov2focal(fovx, W), fov2focal(fovy, H)
 
     cfg = RasterizeConfig(width=W, height=H, sh_degree=0,
-                          max_instances=1 << 21, k_max=2048,
+                          max_instances=args.capacity, k_max=2048,
+                          num_class=NUM_CLASSES,
                           backend=args.backend)
     g_args = (jnp.asarray(xyz), jnp.asarray(scale), jnp.asarray(quat),
               jnp.asarray(opac), jnp.asarray(shs))
@@ -152,7 +188,8 @@ def main(argv=None):
 
     for i in range(args.n_cams):
         band = i % 2
-        Rcw, tvec, campos = orbit_camera(i // 2, args.n_cams // 2, band)
+        Rcw, tvec, campos = orbit_camera(i // 2, args.n_cams // 2, band,
+                                         args.orbit_radius)
         cam = Camera(colmap_id=i + 1, R=Rcw.T, T=tvec, FoVx=fovx, FoVy=fovy,
                      image=np.zeros((3, H, W), np.float32),
                      image_name=f"img_{i:04d}", uid=i)
@@ -163,12 +200,33 @@ def main(argv=None):
             campos=jnp.asarray(cam.camera_center),
             tan_fovx=jnp.float32(cam.tan_fovx),
             tan_fovy=jnp.float32(cam.tan_fovy),
-            bg=jnp.zeros(3))
+            bg=jnp.zeros(3),
+            segments=jnp.asarray(seg_onehot))
         assert not bool(out["overflow"]), "GT render overflowed capacity"
         img = np.asarray(jnp.clip(out["render"], 0, 1))
         arr = (np.moveaxis(img, 0, -1) * 255 + 0.5).astype(np.uint8)
         name = f"img_{i:04d}.png"
         Image.fromarray(arr).save(os.path.join(args.out, "images", name))
+
+        # GT segment map: argmax over composited class channels with the
+        # background transmittance folded into class 0
+        alpha = np.asarray(out["alpha"])          # [H,W]
+        seg_ch = np.asarray(out["segment"])       # [S,H,W]
+        seg_ch = seg_ch.copy()
+        seg_ch[0] += 1.0 - alpha
+        label = np.argmax(seg_ch, axis=0).astype(np.uint8)
+        Image.fromarray(label).save(
+            os.path.join(args.out, "segment", name))
+
+        # GT depth map: DPT-style relative inverse depth, 16-bit
+        # (run_monodepth.py writes 16-bit disparity PNGs)
+        d = np.asarray(out["depth"])              # alpha-weighted depth
+        zmean = d / np.maximum(alpha, 1e-6)
+        disp = np.where(alpha > 0.3, 1.0 / np.maximum(zmean, 1e-3), 0.0)
+        disp16 = (disp / max(float(disp.max()), 1e-9)
+                  * 65535.0).astype(np.uint16)
+        Image.fromarray(disp16).save(
+            os.path.join(args.out, "depth", name))
         q = colmap_lib.rotmat2qvec(Rcw)
         imgs[i + 1] = colmap_lib.ColmapImage(
             id=i + 1, qvec=q, tvec=tvec, camera_id=1, name=name,
@@ -180,7 +238,8 @@ def main(argv=None):
 
     # SfM-like degraded init: noisy subsample of GT positions
     sel = rng.choice(P, size=min(args.n_init_points, P), replace=False)
-    pts = xyz[sel] + rng.normal(0, 0.02, (len(sel), 3)).astype(np.float32)
+    pts = xyz[sel] + rng.normal(0, args.init_noise,
+                                (len(sel), 3)).astype(np.float32)
     cols = np.clip(rgb[sel] + rng.normal(0, 0.05, (len(sel), 3)), 0, 1)
     with open(os.path.join(sparse, "points3D.txt"), "w") as f:
         f.write("# 3D point list\n")
