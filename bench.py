@@ -229,14 +229,20 @@ def main():
     # metrics on it and report them as extras; the stress-scene number stays
     # the headline.
     trained = {}
-    ply = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "assets", "trained_scene.ply")
-    if os.path.exists(ply):
-        try:
-            trained = bench_trained_ply(ply, W, H, cam_kw, tgt, timed, sync)
-        except Exception as e:  # asset bench must never sink the headline
-            print(f"# trained-scene bench failed: {e!r}", file=sys.stderr,
-                  flush=True)
+    assets_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "assets")
+    # prefer the hard (densification-at-scale, >=200k gaussian) asset when
+    # committed; fall back to the 7k quality-run asset
+    for ply_name in ("trained_scene_big.ply", "trained_scene.ply"):
+        ply = os.path.join(assets_dir, ply_name)
+        if os.path.exists(ply):
+            try:
+                trained = bench_trained_ply(ply, W, H, tgt, timed, sync)
+                trained["trained_asset"] = ply_name
+            except Exception as e:  # asset bench must never sink the headline
+                print(f"# trained-scene bench failed: {e!r}", file=sys.stderr,
+                      flush=True)
+            break
 
     mpix = W * H / 1e6
     value = mpix / t_fb
@@ -258,12 +264,15 @@ def main():
     }))
 
 
-def bench_trained_ply(ply, W, H, cam_kw, tgt, timed, sync):
+def bench_trained_ply(ply, W, H, tgt, timed, sync):
     """1080p fwd+bwd / render-only on a trained (quality-protocol) scene.
 
     Same canonical camera as tools/bench_trained_scene.py (the quality
-    scene sits near the origin).  cull="exact" + tight capacity is the
-    Trainer's own deployed configuration for trained scenes.
+    scene sits near the origin) with ALL intrinsics (incl. tan_fov) from
+    that 62-degree camera.  cull="exact" + tight capacity is the Trainer's
+    own deployed configuration for trained scenes; the model capacity is
+    sized to the asset (a 1<<20 fixed capacity made preprocess/binning
+    iterate ~18x dead padding for the 57.7k asset — r3 advisor finding).
     """
     import math
     import time
@@ -275,7 +284,9 @@ def bench_trained_ply(ply, W, H, cam_kw, tgt, timed, sync):
     from gsplat_tpu.ops import preprocess as pre_lib
     from gsplat_tpu.ops.rasterize import RasterizeConfig, rasterize
 
-    m = GaussianModel(3, num_class=2, capacity=1 << 20)
+    # size the model to the PLY: load_ply grows capacity to the next power
+    # of two above the vertex count (gaussians.py:187-189)
+    m = GaussianModel(3, num_class=2, capacity=1)
     m.load_ply(ply)
     p = m.params
     g = dict(
@@ -291,10 +302,11 @@ def bench_trained_ply(ply, W, H, cam_kw, tgt, timed, sync):
                  FoVx=fovx, FoVy=fovy,
                  image=np.zeros((3, H, W), np.float32), image_name="t",
                  uid=0)
-    ckw = dict(cam_kw)
-    ckw.update(viewmatrix=jnp.asarray(cam.world_view_transform),
+    ckw = dict(viewmatrix=jnp.asarray(cam.world_view_transform),
                projmatrix=jnp.asarray(cam.full_proj_transform),
-               campos=jnp.asarray(cam.camera_center))
+               campos=jnp.asarray(cam.camera_center),
+               tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+               bg=jnp.zeros(3))
     gx, gy = (W + 15) // 16, (H + 15) // 16
 
     @jax.jit
@@ -303,12 +315,14 @@ def bench_trained_ply(ply, W, H, cam_kw, tgt, timed, sync):
             g["means3d"], g["scales"], g["rotations"], g["opacities"],
             g["shs"], 3, ckw["viewmatrix"], ckw["projmatrix"],
             ckw["campos"], ckw["tan_fovx"], ckw["tan_fovy"], W, H)
-        bins = bin_lib.bin_gaussians(pre, gx, gy, 4 << 20, align=128,
+        bins = bin_lib.bin_gaussians(pre, gx, gy, 8 << 20, align=128,
                                      cull="exact")
         padded = bins.tile_count + (-bins.tile_count) % 128
-        return jnp.sum(padded)
+        return jnp.sum(padded), bins.overflow
 
-    need = int(count(g))
+    need, probe_ovf = count(g)
+    need = int(need)
+    assert not bool(probe_ovf), "capacity probe overflowed — raise probe cap"
     cap = max(1 << 17, ((int(need * 1.01) + (1 << 16) - 1) >> 16) << 16)
     cfg = RasterizeConfig(width=W, height=H, max_instances=cap,
                           backend="auto", grad_precision="bf16",

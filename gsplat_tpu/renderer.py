@@ -81,6 +81,8 @@ def render(
     max_instances: int = 0,
     means2d_offset: Optional[jnp.ndarray] = None,
     active_sh_degree: Optional[int] = None,
+    convert_SHs_python: bool = False,
+    compute_cov3D_python: bool = False,
 ):
     bg = jnp.zeros(3) if bg_color is None else jnp.asarray(bg_color)
     W = int(viewpoint_camera.image_width)
@@ -100,6 +102,25 @@ def render(
     if bbox_mask is not None:
         opac = jnp.where(jnp.asarray(bbox_mask), opac, 0.0)
 
+    # pipe.convert_SHs_python / pipe.compute_cov3D_python: compute SH->RGB
+    # and the 3D covariance in the python/jnp oracle path and feed them to
+    # the rasterizer as precomputed inputs, exactly like the reference's
+    # debug backends (gaussian_renderer/__init__.py:341-359)
+    cov3d_precomp = None
+    if compute_cov3D_python:
+        cov3d_precomp = T.covariance_from_scaling_rotation(
+            T.scaling_activation(pc.params.scaling), scaling_modifier,
+            pc.params.rotation)
+    if override_color is None and convert_SHs_python:
+        from gsplat_tpu.core import sh as sh_lib
+        sh_deg = (pc.active_sh_degree if active_sh_degree is None
+                  else active_sh_degree)
+        override_color = sh_lib.sh_to_rgb(
+            sh_deg,
+            jnp.concatenate([pc.params.features_dc, pc.params.features_rest],
+                            axis=1),
+            pc.params.xyz, jnp.asarray(viewpoint_camera.camera_center))
+
     out = rasterize(
         cfg,
         pc.params.xyz,
@@ -117,6 +138,7 @@ def render(
         means2d_offset=means2d_offset,
         scale_modifier=scaling_modifier,
         colors_precomp=override_color,
+        cov3d_precomp=cov3d_precomp,
     )
     image = out["render"]
     if rgb_factors is not None:

@@ -145,6 +145,17 @@ def main(argv=None):
         renderer = make_tile_renderer(args.tile_parallel, scene, gaussians,
                                       background, args.backend,
                                       dataset.sh_degree)
+    elif (getattr(args, "convert_SHs_python", False)
+          or getattr(args, "compute_cov3D_python", False)):
+        # pipe debug backends: SH->RGB / cov3D from the jnp oracle paths
+        # (reference gaussian_renderer/__init__.py:341-359)
+        from gsplat_tpu.renderer import render as _render
+        renderer = lambda view: _render(  # noqa: E731
+            view, gaussians, bg_color=background, backend=args.backend,
+            convert_SHs_python=bool(getattr(args, "convert_SHs_python",
+                                            False)),
+            compute_cov3D_python=bool(getattr(args, "compute_cov3D_python",
+                                              False)))
     if not args.skip_train:
         render_set(dataset.model_path, "train", scene.loaded_iter,
                    scene.getTrainCameras(), gaussians, background,

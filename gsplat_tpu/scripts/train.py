@@ -62,6 +62,7 @@ def main(argv=None):
 
     dataset = lp.extract(args)
     opt = op.extract(args)
+    pipe = pp.extract(args)
     # merge OptimizationParams defaults for fields argparse didn't see
     base_opt = OptimizationParams()
     for k, v in vars(base_opt).items():
@@ -86,6 +87,12 @@ def main(argv=None):
         # the axon plugin force-selects the TPU via jax.config; honor an
         # explicit cpu request (useful for smoke tests / CI)
         jax.config.update("jax_platforms", "cpu")
+    if args.detect_anomaly:
+        # reference: torch.autograd.set_detect_anomaly(args.detect_anomaly)
+        # (train.py:302,324); the XLA equivalent checks every jitted output
+        # for NaNs and re-runs un-jitted to locate the producing op
+        jax.config.update("jax_debug_nans", True)
+        print("[debug] jax_debug_nans enabled (--detect_anomaly)")
     import jax.numpy as jnp
 
     from gsplat_tpu.data.scene import Scene
@@ -139,7 +146,10 @@ def main(argv=None):
         data_parallel=getattr(args, "data_parallel", 1),
         tile_parallel=getattr(args, "tile_parallel", 1),
         use_appearance=dataset.able_appearance_embedding,
-        gt_cache=getattr(args, "gt_cache", 0))
+        gt_cache=getattr(args, "gt_cache", 0),
+        convert_shs_python=pipe.convert_SHs_python,
+        compute_cov3d_python=pipe.compute_cov3D_python,
+        debug_from=args.debug_from)
     if dataset.able_appearance_embedding and args.start_checkpoint:
         # resume the appearance state saved beside the gaussian checkpoint
         app_ckpt = os.path.join(

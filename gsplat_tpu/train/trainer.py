@@ -56,12 +56,30 @@ def camera_batch(cam, gt_depth=None, gt_seg=None):
 
 def make_loss_fn(cfg: RasterizeConfig, opt, sh_degree: int,
                  depth_loss_choice: Optional[str], use_seg: bool,
-                 bg: jnp.ndarray, use_appearance: bool = False):
+                 bg: jnp.ndarray, use_appearance: bool = False,
+                 convert_shs_python: bool = False,
+                 compute_cov3d_python: bool = False):
     """Loss on activated params for one camera. Mirrors train.py:110-141 +
-    train_segment.py:125-138 (+ appearance factors, train.py:100-104)."""
+    train_segment.py:125-138 (+ appearance factors, train.py:100-104).
+    ``convert_shs_python`` / ``compute_cov3d_python`` route SH->RGB and the
+    3D covariance through the jnp oracle paths as precomputed rasterizer
+    inputs (reference pipe flags, gaussian_renderer/__init__.py:341-359);
+    both are differentiable, so gradients still flow."""
 
     def loss_fn(params: GaussianParams, m2d_off, batch, key,
                 app_params=None):
+        colors_precomp = None
+        if convert_shs_python:
+            from gsplat_tpu.core import sh as sh_lib
+            colors_precomp = sh_lib.sh_to_rgb(
+                sh_degree,
+                jnp.concatenate([params.features_dc, params.features_rest],
+                                axis=1),
+                params.xyz, batch["campos"])
+        cov3d_precomp = None
+        if compute_cov3d_python:
+            cov3d_precomp = T.covariance_from_scaling_rotation(
+                T.scaling_activation(params.scaling), 1.0, params.rotation)
         out = rasterize(
             cfg,
             params.xyz,
@@ -78,6 +96,8 @@ def make_loss_fn(cfg: RasterizeConfig, opt, sh_degree: int,
             segments=(T.segment_activation(params.segment)
                       if cfg.num_class > 0 else None),
             means2d_offset=m2d_off,
+            colors_precomp=colors_precomp,
+            cov3d_precomp=cov3d_precomp,
         )
         image = out["render"]
         if use_appearance and app_params is not None:
@@ -120,11 +140,15 @@ def make_loss_fn(cfg: RasterizeConfig, opt, sh_degree: int,
 
 def make_appearance_step(cfg: RasterizeConfig, opt, sh_degree: int,
                          depth_loss_choice: Optional[str], use_seg: bool,
-                         bg: jnp.ndarray, app_lr: float = 1e-4):
+                         bg: jnp.ndarray, app_lr: float = 1e-4,
+                         convert_shs_python: bool = False,
+                         compute_cov3d_python: bool = False):
     """Train-step variant that jointly optimizes the appearance embedding
     (reference train.py:100-104,188-190)."""
     loss_fn = make_loss_fn(cfg, opt, sh_degree, depth_loss_choice, use_seg,
-                           bg, use_appearance=True)
+                           bg, use_appearance=True,
+                           convert_shs_python=convert_shs_python,
+                           compute_cov3d_python=compute_cov3d_python)
 
     @jax.jit
     def step(params, opt_state, aux, app_params, app_opt_state, batch, lrs,
@@ -159,8 +183,12 @@ def make_appearance_step(cfg: RasterizeConfig, opt, sh_degree: int,
 
 def make_train_step(cfg: RasterizeConfig, opt, sh_degree: int,
                     depth_loss_choice: Optional[str], use_seg: bool,
-                    bg: jnp.ndarray, track_stats: bool = True):
-    loss_fn = make_loss_fn(cfg, opt, sh_degree, depth_loss_choice, use_seg, bg)
+                    bg: jnp.ndarray, track_stats: bool = True,
+                    convert_shs_python: bool = False,
+                    compute_cov3d_python: bool = False):
+    loss_fn = make_loss_fn(cfg, opt, sh_degree, depth_loss_choice, use_seg,
+                           bg, convert_shs_python=convert_shs_python,
+                           compute_cov3d_python=compute_cov3d_python)
 
     @jax.jit
     def step(params, opt_state, aux, batch, lrs, key):
@@ -205,7 +233,9 @@ class Trainer:
                  max_instances=0, seed=0, model_path=None,
                  gui_source_path=None, grad_precision="bf16", cull="none",
                  data_parallel=1, use_appearance=False, tile_parallel=1,
-                 gt_cache=0, feat_precision="bf16"):
+                 gt_cache=0, feat_precision="bf16",
+                 convert_shs_python=False, compute_cov3d_python=False,
+                 debug_from=-1):
         # grad_precision: per-instance gradient rows rounded to bf16 before
         # the exact f32 per-gaussian sum (halves the reduce-sort payload,
         # ~0.2% relative rounding on individual terms — the training
@@ -224,6 +254,19 @@ class Trainer:
         self.depth_loss_choice = depth_loss_choice
         self.backend = backend
         self.model_path = model_path
+        # pipe.convert_SHs_python / pipe.compute_cov3D_python: jnp-oracle
+        # precompute backends (reference gaussian_renderer/__init__.py:341-359)
+        self.convert_shs_python = convert_shs_python
+        self.compute_cov3d_python = compute_cov3d_python
+        # --debug_from: from this iteration on, verify each step's loss is
+        # finite and dump a snapshot on failure (the TPU equivalent of the
+        # reference's pipe.debug snapshot_fw.dump, diff_gaussian_rasterization/
+        # __init__.py:87-94); -1 = off
+        self.debug_from = debug_from
+        if (convert_shs_python or compute_cov3d_python) and (
+                (data_parallel and data_parallel != 1) or tile_parallel > 1):
+            raise ValueError("convert_SHs_python/compute_cov3D_python are "
+                             "single-device debug backends")
         cams = scene.getTrainCameras()
         W, H = cams[0].image_width, cams[0].image_height
         self.appearance = None
@@ -353,10 +396,14 @@ class Trainer:
             return make_appearance_step(
                 self._cfg(sh_degree, max_instances), self.opt, sh_degree,
                 self.depth_loss_choice, self.use_seg, self.bg,
-                app_lr=self.appearance.lr)
+                app_lr=self.appearance.lr,
+                convert_shs_python=self.convert_shs_python,
+                compute_cov3d_python=self.compute_cov3d_python)
         return make_train_step(
             self._cfg(sh_degree, max_instances), self.opt, sh_degree,
-            self.depth_loss_choice, self.use_seg, self.bg)
+            self.depth_loss_choice, self.use_seg, self.bg,
+            convert_shs_python=self.convert_shs_python,
+            compute_cov3d_python=self.compute_cov3d_python)
 
     def _step_fn(self, sh_degree):
         k = (sh_degree, self.model.capacity, self.max_instances)
@@ -528,6 +575,22 @@ class Trainer:
             else:
                 args = (m.params, m.opt_state, m.aux, batch, lrs, k1)
                 m.params, m.opt_state, m.aux, metrics = step(*args)
+            if 0 <= self.debug_from <= it:
+                # reference pipe.debug from --debug_from: force a per-step
+                # finite check (one device sync) and dump a snapshot of the
+                # step inputs on failure (snapshot_fw.dump analogue)
+                loss_now = float(metrics["loss"])
+                if not np.isfinite(loss_now):
+                    snap = os.path.join(self.model_path or ".",
+                                        f"snapshot_fw_{it}.npz")
+                    arrs = {f"param_{k}": np.asarray(v) for k, v in
+                            zip(m.params._fields, m.params)}
+                    arrs.update({f"batch_{k}": np.asarray(v)
+                                 for k, v in batch.items()})
+                    np.savez(snap, **arrs)
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_now} at iteration {it}; "
+                        f"step inputs dumped to {snap}")
             # avals only: fn.lower() needs shapes/dtypes, not live buffers —
             # pinning concrete arrays here held a params+opt_state worth of
             # HBM for the whole run.  Refreshed every step so background

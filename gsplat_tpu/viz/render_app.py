@@ -154,13 +154,20 @@ class RenderServer:
             self.export_video()
             return
         if key == "b":
-            self.limit = not self.limit
-            if self.limit and self.cam_bounds is None and self.scene_cams:
-                centers = np.stack([_cam_center(wv)
-                                    for wv in self.scene_cams])
-                lo, hi = centers.min(0), centers.max(0)
-                pad = 0.25 * np.maximum(hi - lo, 1e-3)
-                self.cam_bounds = (lo - pad, hi + pad)
+            if self.limit:
+                self.limit = False
+                return
+            if not self.scene_cams:
+                # nothing to bound by — refuse rather than silently enable
+                # a mode that constrains nothing
+                print("[viewer] limit mode unavailable: no scene cameras")
+                return
+            # rebuild on every enable so the bounds track scene_cams changes
+            centers = np.stack([_cam_center(wv) for wv in self.scene_cams])
+            lo, hi = centers.min(0), centers.max(0)
+            pad = 0.25 * np.maximum(hi - lo, 1e-3)
+            self.cam_bounds = (lo - pad, hi + pad)
+            self.limit = True
             return
         action = self.KEY_ACTIONS.get(key)
         if action is None:
