@@ -129,3 +129,78 @@ def make_parallel_train_step(mesh: Mesh, cfg: RasterizeConfig, opt,
         out_specs=(rep, rep, rep, rep),
     )
     return jax.jit(fn)
+
+
+def make_parallel_appearance_step(mesh: Mesh, cfg: RasterizeConfig, opt,
+                                  sh_degree: int, depth_loss_choice,
+                                  use_seg: bool, bg: jnp.ndarray,
+                                  app_lr: float = 1e-4,
+                                  track_stats: bool = True):
+    """Data-parallel train step with the per-camera appearance embedding
+    composed in (VERDICT r3 item 7; reference single-GPU analogue:
+    gaussian_renderer/__init__.py:112-199 + train.py:100-104,188-190).
+
+    The embedding table shards NATURALLY with the camera batch: each device
+    renders its own camera, looks up its own uid row, and multiplies its own
+    RGB factors; appearance gradients (disjoint embedding rows + shared MLP
+    weights) are pmean'd over ICI exactly like the gaussian gradients, then
+    every chip applies the identical replicated Adam update.
+    """
+    loss_fn = make_loss_fn(cfg, opt, sh_degree, depth_loss_choice, use_seg,
+                           bg, use_appearance=True)
+
+    def device_step(params, opt_state, aux, app_params, app_opt_state,
+                    batch, lrs, key):
+        b = jax.tree_util.tree_map(lambda x: x[0], batch)
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        Pn = params.xyz.shape[0]
+        m2d_off = jnp.zeros((Pn, 2), jnp.float32)
+        (loss, auxout), (gparams, g_m2d, g_app) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 4), has_aux=True)(
+            params, m2d_off, b, key, app_params)
+
+        gparams = jax.lax.pmean(gparams, "data")
+        g_app = jax.lax.pmean(g_app, "data")
+        loss = jax.lax.pmean(loss, "data")
+
+        if track_stats:
+            scale = jnp.array([0.5 * cfg.width, 0.5 * cfg.height])
+            gnorm = jnp.linalg.norm(g_m2d * scale[None, :], axis=-1)
+            vis = auxout["radii"] > 0
+            aux = aux._replace(
+                xyz_gradient_accum=aux.xyz_gradient_accum + jax.lax.psum(
+                    jnp.where(vis, gnorm, 0.0), "data"),
+                denom=aux.denom + jax.lax.psum(
+                    vis.astype(jnp.float32), "data"),
+                max_radii2d=jax.lax.pmax(
+                    jnp.where(vis, jnp.maximum(
+                        aux.max_radii2d,
+                        auxout["radii"].astype(jnp.float32)),
+                        aux.max_radii2d), "data"),
+            )
+
+        lrs_tree = GaussianParams(**{k: lrs[k] for k in GaussianParams._fields})
+        params, opt_state = adam.update(gparams, opt_state, params, lrs_tree)
+        app_lrs = jax.tree_util.tree_map(lambda _: app_lr, app_params)
+        app_params, app_opt_state = adam.update(
+            g_app, app_opt_state, app_params, app_lrs)
+        metrics = {
+            "loss": loss, "l1": jax.lax.pmean(auxout["l1"], "data"),
+            "depth_loss": jax.lax.pmean(auxout["depth_loss"], "data"),
+            "seg_loss": jax.lax.pmean(auxout["seg_loss"], "data"),
+            "overflow": jax.lax.pmax(
+                auxout["overflow"].astype(jnp.int32), "data"),
+            "num_rendered": jax.lax.pmax(auxout["num_rendered"], "data"),
+            "num_padded": jax.lax.pmax(auxout["num_padded"], "data"),
+            "n_visible": jax.lax.pmax(
+                jnp.sum(auxout["visibility"]).astype(jnp.int32), "data"),
+        }
+        return (params, opt_state, aux, app_params, app_opt_state, metrics)
+
+    rep = P()
+    fn = shard_map(
+        device_step, mesh,
+        in_specs=(rep, rep, rep, rep, rep, P("data"), rep, rep),
+        out_specs=(rep, rep, rep, rep, rep, rep),
+    )
+    return jax.jit(fn)

@@ -272,12 +272,16 @@ class Trainer:
         self.appearance = None
         if use_appearance:
             # per-camera learned RGB factors jointly optimized with the
-            # gaussians (reference train.py:42-44,100-104,188-190)
+            # gaussians (reference train.py:42-44,100-104,188-190).
+            # Composable with --data_parallel: the embedding table shards
+            # naturally with the camera batch (each device looks up its own
+            # uid row), appearance grads pmean over ICI like the gaussian
+            # grads (parallel/data_parallel.py::make_parallel_appearance_step)
             from gsplat_tpu.models.appearance import AppearanceOptimizer
-            if (data_parallel and data_parallel != 1) or tile_parallel > 1:
-                raise ValueError("appearance embedding + "
-                                 "data/tile parallelism is not supported "
-                                 "(the reference is single-GPU only here)")
+            if tile_parallel > 1:
+                raise ValueError("appearance embedding + tile parallelism "
+                                 "is not supported (the factors are "
+                                 "per-camera, not per-tile-slice)")
             n_uid = max((getattr(c, "uid", 0) for c in cams), default=0) + 1
             self.appearance = AppearanceOptimizer(max(n_uid, len(cams)))
         self.mesh = None
@@ -386,6 +390,14 @@ class Trainer:
                 self.mesh, self._cfg(sh_degree, max_instances), self.opt,
                 sh_degree, self.depth_loss_choice, self.use_seg, self.bg)[0]
         if self.data_parallel:
+            if self.appearance is not None:
+                from gsplat_tpu.parallel.data_parallel import (
+                    make_parallel_appearance_step,
+                )
+                return make_parallel_appearance_step(
+                    self.mesh, self._cfg(sh_degree, max_instances),
+                    self.opt, sh_degree, self.depth_loss_choice,
+                    self.use_seg, self.bg, app_lr=self.appearance.lr)
             from gsplat_tpu.parallel.data_parallel import (
                 make_parallel_train_step,
             )
