@@ -150,6 +150,36 @@ class GaussianModel:
     def training_setup(self):
         self.opt_state = adam.init(self.params)
 
+    def grow_capacity(self, new_capacity: int):
+        """Reallocate to a larger fixed capacity, keeping slot indices
+        (existing rows copy over; new slots are dead).  The reference just
+        concatenates tensors when merging scenes (visualizer.py:196-226);
+        here growth is an explicit reallocation so everything else stays
+        fixed-shape.  Adam moments (if any) are carried over with zeroed
+        state for the new slots."""
+        new_capacity = int(new_capacity)
+        if new_capacity <= self.capacity:
+            return
+
+        old_cap = self.capacity
+
+        def pad(tree_old, tree_empty):
+            return type(tree_old)(*[
+                e.at[:old_cap].set(o) for o, e in zip(tree_old, tree_empty)])
+
+        self.capacity = new_capacity
+        new_params = empty_params(new_capacity, self.max_sh_degree,
+                                  self.params.segment.shape[1])
+        self.params = pad(self.params, new_params)
+        self.aux = pad(self.aux, empty_aux(new_capacity))
+        if self.opt_state is not None:
+            zeros = adam.init(self.params)
+            self.opt_state = adam.AdamState(
+                count=self.opt_state.count,
+                mu=pad(self.opt_state.mu, zeros.mu),
+                nu=pad(self.opt_state.nu, zeros.nu))
+        print(f"[model] capacity grown {old_cap} -> {new_capacity}")
+
     # --- PLY export/import (scene/gaussian_model.py:191-360) -----------------
     def save_ply(self, path: str, mask: Optional[np.ndarray] = None):
         """Reference-schema PLY of the ALIVE gaussians (compacted)."""
