@@ -60,3 +60,53 @@ def test_make_global_batch_single_process():
     g = make_global_batch(mesh, local)
     assert g["x"].shape == (4, 3)
     np.testing.assert_array_equal(np.asarray(g["x"]), np.asarray(local["x"]))
+
+
+def test_real_two_process_distributed(tmp_path):
+    """VERDICT r3 item 9: spawn 2 REAL jax.distributed CPU processes (2
+    local devices each -> 4 global) and assert the lockstep sampler +
+    make_global_batch + one data-parallel train step over the global mesh
+    produce identical replicated results on both processes, with the same
+    global camera order the single-process sampler yields."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # pick a free port for the coordinator
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"localhost:{port}"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "multihost_worker.py")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen(
+        [sys.executable, worker, coord, str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    r0, r1 = sorted(outs, key=lambda r: r["pid"])
+    assert r0["n_local"] == r1["n_local"] == 2
+    assert r0["n_global"] == r1["n_global"] == 4
+    # lockstep: identical global order, disjoint slices that partition it
+    assert r0["global_order"] == r1["global_order"]
+    assert r0["local_slice"] + r1["local_slice"] == r0["global_order"]
+    assert r0["global_batch_lead"] == 4  # global leading dim = all devices
+    # the single-process sampler must yield the same global order
+    sam = ShardedCameraSampler(6, 4, 0, 1, seed=0)
+    assert sam.sample_global() == r0["global_order"]
+    # replicated step results identical across processes
+    assert r0["loss"] == r1["loss"]
+    assert r0["xyz_sum"] == r1["xyz_sum"]
+    assert np.isfinite(r0["loss"])
