@@ -236,6 +236,13 @@ def main(argv=None):
     colmap_lib.write_intrinsics_text(os.path.join(sparse, "cameras.txt"), cams)
     colmap_lib.write_extrinsics_text(os.path.join(sparse, "images.txt"), imgs)
 
+    # the COLMAP reader caches points3D.txt converted to points3D.ply
+    # (readers.py:165-175, mirroring the reference) — drop any stale cache
+    # from a previous generation of this scene directory
+    stale = os.path.join(sparse, "points3D.ply")
+    if os.path.exists(stale):
+        os.remove(stale)
+
     # SfM-like degraded init: noisy subsample of GT positions
     sel = rng.choice(P, size=min(args.n_init_points, P), replace=False)
     pts = xyz[sel] + rng.normal(0, args.init_noise,
