@@ -25,8 +25,6 @@ def test_bench_trained_ply_smoke(tmp_path):
     m.save_ply(ply)
 
     W, H = 128, 96
-    cam_kw = dict(tan_fovx=math.tan(0.5), tan_fovy=math.tan(0.4),
-                  bg=jnp.zeros(3))
     tgt = jnp.zeros((3, H, W))
 
     def sync(x):
@@ -38,7 +36,7 @@ def test_bench_trained_ply_smoke(tmp_path):
         r = f(*a)
         return 1.0, r
 
-    out = bench_mod.bench_trained_ply(ply, W, H, cam_kw, tgt, timed, sync)
+    out = bench_mod.bench_trained_ply(ply, W, H, tgt, timed, sync)
     assert out["trained_n_gaussians"] == n
     assert out["trained_instances"] > 0
     assert out["trained_fwdbwd_mpix_per_s"] > 0
