@@ -67,7 +67,12 @@ def main(argv=None):
     C = args.num_class
     conf = np.zeros((C, C), np.int64)
     psnrs = []
-    for cam in cams:
+    # fixed class palette for the qualitative class-map artifact
+    # (visualizer.py:547-557 colors the argmax map the same way)
+    palette = np.array([[0, 0, 0], [200, 180, 140], [220, 60, 50],
+                        [60, 130, 220], [70, 200, 80], [200, 80, 200],
+                        [240, 200, 60], [100, 100, 255]], np.uint8)
+    for i, cam in enumerate(cams):
         out = render(cam, gaussians, backend=args.backend)
         seg = np.asarray(out["segment"])          # [C,H,W]
         alpha = np.asarray(out["alpha"])
@@ -78,6 +83,14 @@ def main(argv=None):
         conf += confusion(pred.ravel(), gt.ravel(), C)
         img = jnp.clip(out["render"], 0, 1)
         psnrs.append(float(L.psnr(img, jnp.asarray(cam.image))))
+        if i == 0:
+            from PIL import Image
+            pal = np.vstack([palette, np.zeros((max(0, C - len(palette)), 3),
+                                               np.uint8)])
+            side = np.concatenate([pal[pred % len(pal)],
+                                   pal[gt % len(pal)]], axis=1)
+            Image.fromarray(side).save(os.path.join(
+                args.model_path, f"seg_classmap_{args.split}.png"))
 
     tp = np.diag(conf).astype(float)
     gt_tot = conf.sum(1).astype(float)

@@ -220,6 +220,10 @@ def main():
                   "--out", os.path.join(model, "seg_metrics.json")])
         with open(os.path.join(model, "seg_metrics.json")) as f:
             seg = json.load(f)
+        cm = os.path.join(model, "seg_classmap_test.png")
+        if os.path.exists(cm):
+            shutil.copyfile(cm, os.path.join(REPO, "docs",
+                                             "seg_classmap_r4.png"))
         art = {
             "protocol": "train_segment --using_seg 10k iters on the "
                         "synthetic scene with GT segment maps "
