@@ -105,6 +105,81 @@ def build_gt_cloud(rng, floor_n=200, blob_m=14000, checker_freq=3.0):
     return xyz, rgb, scale, quat, opac, cls
 
 
+def build_room_cloud(rng, wall_n=220, blob_m=12000, checker_freq=8.0):
+    """Second scene family (r4): an INDOOR box room — floor/ceiling/4
+    textured walls enclosing blobs + rods, viewed from inside.  Different
+    geometry regime from the orbit scene (surfaces behind the cameras,
+    high-depth-range walls) so quality evidence is not one scene shape."""
+    parts = []
+
+    def add(xyz, rgb, scale, opac, cls):
+        parts.append((xyz.astype(np.float32), rgb.astype(np.float32),
+                      scale.astype(np.float32), opac.astype(np.float32),
+                      np.full(len(xyz), cls, np.int32)))
+
+    def plane(u, v, const_axis, const_val, axes, tex_phase, n=wall_n):
+        g1, g2 = np.meshgrid(np.linspace(u[0], u[1], n),
+                             np.linspace(v[0], v[1], n))
+        xyz = np.zeros((n * n, 3))
+        xyz[:, axes[0]] = g1.ravel()
+        xyz[:, axes[1]] = g2.ravel()
+        xyz[:, const_axis] = const_val
+        check = ((g1.ravel() * checker_freq).astype(int)
+                 + (g2.ravel() * checker_freq).astype(int) + tex_phase) % 2
+        hue = np.array([[0.72, 0.70, 0.62], [0.30, 0.33, 0.42],
+                        [0.62, 0.45, 0.38], [0.40, 0.55, 0.45]])
+        base = np.where(check[:, None], hue[tex_phase % 4],
+                        hue[(tex_phase + 1) % 4])
+        rgb = np.clip(base + rng.normal(0, 0.05, (n * n, 3)), 0, 1)
+        spacing = (u[1] - u[0]) / (n - 1)
+        s = min(0.022, 0.8 * spacing)
+        sc = np.full((n * n, 3), s)
+        sc[:, const_axis] = 0.004
+        add(xyz, rgb, sc, np.full(n * n, 0.93), 1)
+
+    plane((-3, 3), (-3, 3), 1, -1.2, (0, 2), 0)          # floor
+    plane((-3, 3), (-3, 3), 1, 1.8, (0, 2), 1)           # ceiling
+    plane((-3, 3), (-1.2, 1.8), 2, -3.0, (0, 1), 2)      # walls
+    plane((-3, 3), (-1.2, 1.8), 2, 3.0, (0, 1), 3)
+    plane((-3, 3), (-1.2, 1.8), 0, -3.0, (2, 1), 2)
+    plane((-3, 3), (-1.2, 1.8), 0, 3.0, (2, 1), 3)
+
+    for ci, (cx, cy, cz, r, hue) in enumerate([
+            (-0.9, -0.5, 0.4, 0.5, (0.85, 0.25, 0.2)),
+            (0.8, -0.3, -0.6, 0.45, (0.2, 0.6, 0.85)),
+            (0.0, 0.4, 0.9, 0.4, (0.3, 0.8, 0.3))]):
+        m = blob_m
+        v = rng.normal(size=(m, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        rad = r * (0.82 + 0.18 * rng.uniform(size=(m, 1)))
+        xyz = np.array([cx, cy, cz]) + v * rad
+        stripes = 0.5 + 0.5 * np.sin(14.0 * xyz[:, 1] + ci)
+        rgb = np.clip(np.array(hue) * stripes[:, None]
+                      + 0.15 * rng.uniform(size=(m, 3)), 0, 1)
+        scale = np.exp(rng.normal(0, 0.4, (m, 3))) * 0.008
+        scale[:, 0] *= 2.0
+        add(xyz, rgb, scale, rng.uniform(0.65, 0.95, m), 2 + ci)
+
+    for rx, rz in [(-1.8, -1.5), (1.6, 1.3), (-1.4, 1.7)]:
+        m = 1500
+        y = np.linspace(-1.2, 1.0, m)
+        xyz = np.stack([np.full(m, rx) + rng.normal(0, 0.01, m), y,
+                        np.full(m, rz) + rng.normal(0, 0.01, m)], 1)
+        rgb = np.clip(np.stack([0.5 + 0.5 * np.sin(9 * y),
+                                np.full(m, 0.45),
+                                0.5 + 0.5 * np.cos(9 * y)], 1), 0, 1)
+        add(xyz, rgb, np.tile([0.008, 0.02, 0.008], (m, 1)),
+            np.full(m, 0.9), 5)
+
+    xyz = np.concatenate([p[0] for p in parts])
+    rgb = np.concatenate([p[1] for p in parts])
+    scale = np.concatenate([p[2] for p in parts])
+    opac = np.concatenate([p[3] for p in parts])
+    cls = np.concatenate([p[4] for p in parts])
+    quat = rng.normal(size=(len(xyz), 4)).astype(np.float32)
+    return xyz, rgb, scale, quat, opac, cls
+
+
 def orbit_camera(i, n, height_band, orbit_radius=4.2):
     ang = 2 * math.pi * i / n + 0.13 * height_band
     radius = orbit_radius - 0.3 * height_band
@@ -136,6 +211,15 @@ def main(argv=None):
     ap.add_argument("--orbit_radius", type=float, default=4.2)
     ap.add_argument("--init_noise", type=float, default=0.02)
     ap.add_argument("--capacity", type=int, default=1 << 21)
+    ap.add_argument("--layout", choices=["orbit", "room"], default="orbit",
+                    help="orbit: outward-looking object scene; room: indoor "
+                         "box with textured walls viewed from inside")
+    ap.add_argument("--format", choices=["colmap", "blender"],
+                    default="colmap",
+                    help="on-disk dataset format (blender = "
+                         "transforms_train/test.json, exercises the "
+                         "Blender reader path)")
+    ap.add_argument("--wall_n", type=int, default=220)
     args = ap.parse_args(argv)
 
     import jax
@@ -159,9 +243,14 @@ def main(argv=None):
     sparse = os.path.join(args.out, "sparse", "0")
     os.makedirs(sparse, exist_ok=True)
 
-    xyz, rgb, scale, quat, opac, cls = build_gt_cloud(
-        rng, floor_n=args.floor_n, blob_m=args.blob_m,
-        checker_freq=args.checker_freq)
+    if args.layout == "room":
+        xyz, rgb, scale, quat, opac, cls = build_room_cloud(
+            rng, wall_n=args.wall_n, blob_m=args.blob_m,
+            checker_freq=args.checker_freq)
+    else:
+        xyz, rgb, scale, quat, opac, cls = build_gt_cloud(
+            rng, floor_n=args.floor_n, blob_m=args.blob_m,
+            checker_freq=args.checker_freq)
     P = len(xyz)
     print(f"GT cloud: {P} gaussians")
     shs = np.zeros((P, 16, 3), np.float32)
@@ -185,6 +274,7 @@ def main(argv=None):
     cams[1] = colmap_lib.ColmapCamera(
         id=1, model="PINHOLE", width=W, height=H,
         params=np.array([fl_x, fl_y, W / 2.0, H / 2.0]))
+    poses = []  # (Rcw, tvec, campos) per camera, for the blender writer
 
     for i in range(args.n_cams):
         band = i % 2
@@ -231,31 +321,66 @@ def main(argv=None):
         imgs[i + 1] = colmap_lib.ColmapImage(
             id=i + 1, qvec=q, tvec=tvec, camera_id=1, name=name,
             xys=np.zeros((0, 2)), point3D_ids=np.zeros(0, int))
+        poses.append((Rcw, tvec, campos))
         print(f"rendered {name} (nrend={int(out['num_rendered'])})")
-
-    colmap_lib.write_intrinsics_text(os.path.join(sparse, "cameras.txt"), cams)
-    colmap_lib.write_extrinsics_text(os.path.join(sparse, "images.txt"), imgs)
-
-    # the COLMAP reader caches points3D.txt converted to points3D.ply
-    # (readers.py:165-175, mirroring the reference) — drop any stale cache
-    # from a previous generation of this scene directory
-    stale = os.path.join(sparse, "points3D.ply")
-    if os.path.exists(stale):
-        os.remove(stale)
 
     # SfM-like degraded init: noisy subsample of GT positions
     sel = rng.choice(P, size=min(args.n_init_points, P), replace=False)
     pts = xyz[sel] + rng.normal(0, args.init_noise,
                                 (len(sel), 3)).astype(np.float32)
     cols = np.clip(rgb[sel] + rng.normal(0, 0.05, (len(sel), 3)), 0, 1)
-    with open(os.path.join(sparse, "points3D.txt"), "w") as f:
-        f.write("# 3D point list\n")
-        for j, (p, c) in enumerate(zip(pts, cols)):
-            r, g, b = (int(v * 255) for v in c)
-            f.write(f"{j + 1} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
-                    f"{r} {g} {b} 0.5\n")
+
+    if args.format == "blender":
+        # transforms_train/test.json (readers.py:183-260 conventions): the
+        # stored c2w is NeRF-axis — the reader flips columns 1:3 back to
+        # COLMAP axes, so write M_colmap_c2w = [[Rcw^T, campos]] with those
+        # columns pre-negated.  Every 8th camera goes to the test file
+        # (the llffhold-style eval split).
+        import json as json_lib
+        frames = {"train": [], "test": []}
+        for i, (Rcw, tvec, campos) in enumerate(poses):
+            M = np.eye(4)
+            M[:3, :3] = Rcw.T
+            M[:3, 3] = campos
+            M[:, 1:3] *= -1
+            frames["test" if i % 8 == 0 else "train"].append({
+                "file_path": f"images/img_{i:04d}",
+                "transform_matrix": M.tolist(),
+            })
+        for split, fr in frames.items():
+            with open(os.path.join(args.out,
+                                   f"transforms_{split}.json"), "w") as f:
+                json_lib.dump({"camera_angle_x": fovx, "frames": fr}, f,
+                              indent=1)
+        from gsplat_tpu.data.readers import store_ply
+        ply_path = os.path.join(args.out, "points3d.ply")
+        if os.path.exists(ply_path):
+            os.remove(ply_path)
+        store_ply(ply_path, pts, (cols * 255).astype(np.uint8))
+        os.rmdir(sparse)
+        os.rmdir(os.path.dirname(sparse))
+    else:
+        colmap_lib.write_intrinsics_text(
+            os.path.join(sparse, "cameras.txt"), cams)
+        colmap_lib.write_extrinsics_text(
+            os.path.join(sparse, "images.txt"), imgs)
+
+        # the COLMAP reader caches points3D.txt converted to points3D.ply
+        # (readers.py:165-175, mirroring the reference) — drop any stale
+        # cache from a previous generation of this scene directory
+        stale = os.path.join(sparse, "points3D.ply")
+        if os.path.exists(stale):
+            os.remove(stale)
+
+        with open(os.path.join(sparse, "points3D.txt"), "w") as f:
+            f.write("# 3D point list\n")
+            for j, (p, c) in enumerate(zip(pts, cols)):
+                r, g, b = (int(v * 255) for v in c)
+                f.write(f"{j + 1} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                        f"{r} {g} {b} 0.5\n")
     print(f"scene written to {args.out} "
-          f"({args.n_cams} cams, {len(sel)} init points)")
+          f"({args.n_cams} cams, {len(sel)} init points, "
+          f"{args.layout}/{args.format})")
 
 
 if __name__ == "__main__":

@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--train_args", action="append", default=[],
                     help="extra flag token forwarded to scripts.train; "
                          "repeatable (use = form: --train_args=--flag)")
+    ap.add_argument("--scene_args", action="append", default=[],
+                    help="extra flag token forwarded to make_quality_scene "
+                         "(e.g. --scene_args=--layout --scene_args=room)")
     args = ap.parse_args()
 
     py = [sys.executable]
@@ -64,7 +67,8 @@ def main():
                             args.scene, "--width", str(args.width),
                             "--height", str(args.height),
                             "--n_cams", str(args.n_cams),
-                            "--n_init_points", str(args.n_init_points)])
+                            "--n_init_points", str(args.n_init_points)]
+                      + list(args.scene_args))
 
     # Fault tolerance the reference lacks (SURVEY §5): the remote TPU
     # transport can throw spurious backend errors under compile churn —
