@@ -181,8 +181,11 @@ def main():
         tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy)
     out["stress_500k"] = analyze("stress 500k", g, cam_kw, W, H, shapes)
 
-    ply = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "assets", "trained_scene.ply")
+    assets = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets")
+    ply = os.path.join(assets, "trained_scene_big.ply")
+    if not os.path.exists(ply):
+        ply = os.path.join(assets, "trained_scene.ply")
     if os.path.exists(ply):
         from gsplat_tpu.core import transforms as T
         from gsplat_tpu.core.cameras import Camera
