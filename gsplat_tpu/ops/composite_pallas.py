@@ -746,11 +746,23 @@ def composite_pallas(means2d, conic, opacity, feats, bins, width: int,
     # binning construction.  Col 2 = total USED chunks (bounds the forward
     # kernel's cross-tile prefetch so no DMA is issued past the live table
     # and left unawaited); col 3 pads the SMEM block to 4 ints.
-    starts_c = bins.tile_start // CHUNK
-    counts_c = (bins.tile_count + CHUNK - 1) // CHUNK
-    nch_used = jnp.broadcast_to(starts_c[-1] + counts_c[-1],
-                                starts_c.shape).astype(jnp.int32)
-    ranges = jnp.stack([starts_c, bins.tile_count, nch_used,
+    #
+    # MEMORY SAFETY UNDER OVERFLOW: when the instance demand exceeds the
+    # fixed capacity, tile_start/tile_count describe chunks that do not
+    # exist in the table — unclamped, the kernels' .at[chunk] DMAs would
+    # read AND WRITE out of bounds (observed in r4: an overflowing densify
+    # step corrupted live parameter buffers into NaNs).  Clamp every
+    # per-tile range into [0, NCH]: the overflowed step's image is wrong
+    # (the overflow flag reports that; the trainer skips the update and
+    # regrows), but every DMA stays inside the table.
+    starts_c = jnp.minimum(bins.tile_start // CHUNK, NCH)
+    count_cap = jnp.maximum(NCH - starts_c, 0) * CHUNK
+    counts_eff = jnp.minimum(bins.tile_count, count_cap)
+    counts_c = (counts_eff + CHUNK - 1) // CHUNK
+    nch_used = jnp.broadcast_to(
+        jnp.minimum(starts_c[-1] + counts_c[-1], NCH),
+        starts_c.shape).astype(jnp.int32)
+    ranges = jnp.stack([starts_c, counts_eff, nch_used,
                         jnp.zeros_like(nch_used)], axis=1)
     pad_rows = (-ranges.shape[0]) % 8
     if pad_rows:

@@ -76,6 +76,7 @@ def make_parallel_train_step(mesh: Mesh, cfg: RasterizeConfig, opt,
     loss_fn = make_loss_fn(cfg, opt, sh_degree, depth_loss_choice, use_seg, bg)
 
     def device_step(params, opt_state, aux, batch, lrs, key):
+        old = (params, opt_state, aux)
         # local shard: leading dim 1
         b = jax.tree_util.tree_map(lambda x: x[0], batch)
         key = jax.random.fold_in(key, jax.lax.axis_index("data"))
@@ -107,12 +108,15 @@ def make_parallel_train_step(mesh: Mesh, cfg: RasterizeConfig, opt,
 
         lrs_tree = GaussianParams(**{k: lrs[k] for k in GaussianParams._fields})
         params, opt_state = adam.update(gparams, opt_state, params, lrs_tree)
+        ovf_any = jax.lax.pmax(auxout["overflow"].astype(jnp.int32), "data")
+        from gsplat_tpu.train.trainer import gate_on_overflow
+        params, opt_state, aux = gate_on_overflow(
+            ovf_any > 0, (params, opt_state, aux), old)
         metrics = {
             "loss": loss, "l1": jax.lax.pmean(auxout["l1"], "data"),
             "depth_loss": jax.lax.pmean(auxout["depth_loss"], "data"),
             "seg_loss": jax.lax.pmean(auxout["seg_loss"], "data"),
-            "overflow": jax.lax.pmax(
-                auxout["overflow"].astype(jnp.int32), "data"),
+            "overflow": ovf_any,
             "num_rendered": jax.lax.pmax(auxout["num_rendered"], "data"),
             "num_padded": jax.lax.pmax(auxout["num_padded"], "data"),
             "n_visible": jax.lax.pmax(
@@ -151,6 +155,7 @@ def make_parallel_appearance_step(mesh: Mesh, cfg: RasterizeConfig, opt,
 
     def device_step(params, opt_state, aux, app_params, app_opt_state,
                     batch, lrs, key):
+        old = (params, opt_state, aux, app_params, app_opt_state)
         b = jax.tree_util.tree_map(lambda x: x[0], batch)
         key = jax.random.fold_in(key, jax.lax.axis_index("data"))
         Pn = params.xyz.shape[0]
@@ -184,12 +189,17 @@ def make_parallel_appearance_step(mesh: Mesh, cfg: RasterizeConfig, opt,
         app_lrs = jax.tree_util.tree_map(lambda _: app_lr, app_params)
         app_params, app_opt_state = adam.update(
             g_app, app_opt_state, app_params, app_lrs)
+        ovf_any = jax.lax.pmax(auxout["overflow"].astype(jnp.int32), "data")
+        from gsplat_tpu.train.trainer import gate_on_overflow
+        (params, opt_state, aux, app_params,
+         app_opt_state) = gate_on_overflow(
+            ovf_any > 0,
+            (params, opt_state, aux, app_params, app_opt_state), old)
         metrics = {
             "loss": loss, "l1": jax.lax.pmean(auxout["l1"], "data"),
             "depth_loss": jax.lax.pmean(auxout["depth_loss"], "data"),
             "seg_loss": jax.lax.pmean(auxout["seg_loss"], "data"),
-            "overflow": jax.lax.pmax(
-                auxout["overflow"].astype(jnp.int32), "data"),
+            "overflow": ovf_any,
             "num_rendered": jax.lax.pmax(auxout["num_rendered"], "data"),
             "num_padded": jax.lax.pmax(auxout["num_padded"], "data"),
             "n_visible": jax.lax.pmax(

@@ -132,6 +132,7 @@ def make_2d_train_step(mesh: Mesh, cfg_full: RasterizeConfig, opt,
 
     @jax.jit
     def step(params, opt_state, aux, batch, lrs, key):
+        old = (params, opt_state, aux)
         Pn = params.xyz.shape[0]
         m2d_off = jnp.zeros((M, Pn, 2), jnp.float32)
         (loss, auxout), (gparams, g_m2d) = jax.value_and_grad(
@@ -160,6 +161,9 @@ def make_2d_train_step(mesh: Mesh, cfg_full: RasterizeConfig, opt,
         lrs_tree = GaussianParams(**{k: lrs[k]
                                      for k in GaussianParams._fields})
         params, opt_state = adam.update(gparams, opt_state, params, lrs_tree)
+        from gsplat_tpu.train.trainer import gate_on_overflow
+        params, opt_state, aux = gate_on_overflow(
+            auxout["overflow"] > 0, (params, opt_state, aux), old)
         metrics = {
             "loss": loss, "l1": auxout["l1"],
             "depth_loss": auxout["depth_loss"],

@@ -138,6 +138,17 @@ def make_loss_fn(cfg: RasterizeConfig, opt, sh_degree: int,
     return loss_fn
 
 
+def gate_on_overflow(pred, new_tree, old_tree):
+    """An instance-capacity-overflow step renders with DROPPED instances —
+    its gradients are garbage.  Freeze every state leaf at the pre-step
+    value when ``pred`` (the rasterizer's overflow flag) is set; the metrics
+    still report the overflow so the host regrows capacity and the skipped
+    step costs one iteration, not the model (r4: an overflowing densify
+    step previously poisoned training state)."""
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(pred, o, n), new_tree, old_tree)
+
+
 def make_appearance_step(cfg: RasterizeConfig, opt, sh_degree: int,
                          depth_loss_choice: Optional[str], use_seg: bool,
                          bg: jnp.ndarray, app_lr: float = 1e-4,
@@ -153,6 +164,7 @@ def make_appearance_step(cfg: RasterizeConfig, opt, sh_degree: int,
     @jax.jit
     def step(params, opt_state, aux, app_params, app_opt_state, batch, lrs,
              key):
+        old = (params, opt_state, aux, app_params, app_opt_state)
         P = params.xyz.shape[0]
         m2d_off = jnp.zeros((P, 2), jnp.float32)
         (loss, auxout), grads = jax.value_and_grad(
@@ -168,6 +180,9 @@ def make_appearance_step(cfg: RasterizeConfig, opt, sh_degree: int,
         app_lrs = jax.tree_util.tree_map(lambda _: app_lr, app_params)
         app_params, app_opt_state = adam.update(
             g_app, app_opt_state, app_params, app_lrs)
+        (params, opt_state, aux, app_params, app_opt_state) = gate_on_overflow(
+            auxout["overflow"],
+            (params, opt_state, aux, app_params, app_opt_state), old)
         metrics = {
             "loss": loss, "l1": auxout["l1"],
             "depth_loss": auxout["depth_loss"], "seg_loss": auxout["seg_loss"],
@@ -192,6 +207,7 @@ def make_train_step(cfg: RasterizeConfig, opt, sh_degree: int,
 
     @jax.jit
     def step(params, opt_state, aux, batch, lrs, key):
+        old = (params, opt_state, aux)
         P = params.xyz.shape[0]
         m2d_off = jnp.zeros((P, 2), jnp.float32)
         (loss, auxout), grads = jax.value_and_grad(
@@ -211,6 +227,8 @@ def make_train_step(cfg: RasterizeConfig, opt, sh_degree: int,
             rotation=lrs["rotation"], opacity=lrs["opacity"],
             segment=lrs["segment"])
         params, opt_state = adam.update(gparams, opt_state, params, lrs_tree)
+        params, opt_state, aux = gate_on_overflow(
+            auxout["overflow"], (params, opt_state, aux), old)
         metrics = {
             "loss": loss, "l1": auxout["l1"],
             "depth_loss": auxout["depth_loss"], "seg_loss": auxout["seg_loss"],

@@ -332,3 +332,52 @@ def test_stop_file_graceful_exit(synth_scene, tmp_path):
     assert os.path.exists(os.path.join(model_dir, "chkpnt5.npz"))
     assert os.path.exists(os.path.join(model_dir, "point_cloud",
                                        "iteration_5", "point_cloud.ply"))
+
+
+def test_overflow_step_is_safe_noop(synth_scene, tmp_path):
+    """r4 regression: an instance-capacity-overflow step must neither
+    corrupt memory (the Pallas kernels' chunk ranges are clamped in-bounds)
+    nor move the training state (the update is gated on the overflow flag);
+    the metrics still report the overflow so the host regrows."""
+    import jax
+    import jax.numpy as jnp
+    from gsplat_tpu.config import OptimizationParams
+    from gsplat_tpu.data.scene import Scene
+    from gsplat_tpu.models.gaussians import GaussianModel, GaussianParams
+    from gsplat_tpu.train.trainer import camera_batch, make_train_step
+    from gsplat_tpu.ops.rasterize import RasterizeConfig
+
+    m = GaussianModel(3, num_class=3, capacity=1024)
+    args = _make_args(synth_scene, str(tmp_path / "model"))
+    scene = Scene(args, m, shuffle=False)
+    m.training_setup()
+    cam = scene.getTrainCameras()[0]
+    batch = camera_batch(cam)
+    lrs = {k: jnp.float32(1e-3) for k in GaussianParams._fields}
+    key = jax.random.PRNGKey(0)
+
+    for backend in ("jnp", "pallas"):
+        # 256 instances is far below this scene's demand -> guaranteed
+        # overflow
+        cfg = RasterizeConfig(width=48, height=48, num_class=0,
+                              max_instances=256, k_max=64, backend=backend)
+        step = make_train_step(cfg, OptimizationParams(), 3, None, False,
+                               jnp.zeros(3))
+        p1, o1, a1, met = step(m.params, m.opt_state, m.aux, batch, lrs, key)
+        assert bool(met["overflow"]), backend
+        for k in GaussianParams._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(p1, k)), np.asarray(getattr(m.params, k)),
+                err_msg=f"{backend}: param {k} moved on an overflow step")
+        assert np.isfinite(np.asarray(o1.mu.xyz)).all(), backend
+        np.testing.assert_array_equal(np.asarray(a1.xyz_gradient_accum),
+                                      np.asarray(m.aux.xyz_gradient_accum))
+
+    # normal-capacity step still trains (the gate is a no-op off-overflow)
+    cfg = RasterizeConfig(width=48, height=48, num_class=0,
+                          max_instances=1 << 14, k_max=256, backend="jnp")
+    step = make_train_step(cfg, OptimizationParams(), 3, None, False,
+                           jnp.zeros(3))
+    p2, _, _, met2 = step(m.params, m.opt_state, m.aux, batch, lrs, key)
+    assert not bool(met2["overflow"])
+    assert float(jnp.abs(p2.xyz - m.params.xyz).max()) > 0
