@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Room-scene quality protocol (r4): the SECOND scene family — an indoor
+textured box room in Blender format (different geometry regime AND reader
+path from the orbit/COLMAP scene).  7k-iteration runs: RGB-only, plus a
+depth-supervised arm (the full-coverage regime real DPT captures have —
+no open background, so the reference's inverse-depth losses behave as
+deployed).  Writes docs/QUALITY_r4_room.json.
+
+Usage: python tools/run_room_protocol.py [--work /tmp/r4room]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = [sys.executable]
+
+
+def run(cmd):
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO)
+
+
+def read_jsonl(path):
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(l) for l in f if l.strip()]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", default="/tmp/r4room")
+    ap.add_argument("--iters", type=int, default=7000)
+    args = ap.parse_args()
+    scene = os.path.join(args.work, "scene")
+    os.makedirs(args.work, exist_ok=True)
+
+    t0 = time.time()
+    run(PY + ["tools/make_quality_scene.py", "--out", scene,
+              "--layout", "room", "--format", "blender",
+              "--width", "640", "--height", "480", "--n_cams", "40",
+              "--wall_n", "260", "--blob_m", "12000",
+              "--checker_freq", "8", "--n_init_points", "60000",
+              "--orbit_radius", "2.0", "--init_noise", "0.005",
+              "--capacity", str(1 << 21)])
+
+    res = {}
+    for tag, extra in (
+            ("rgb_only", []),
+            ("with_depth_L1", ["--using_depth",
+                               "--depth_loss_choice", "L1_loss"]),
+            ("with_depth_hybrid", ["--using_depth",
+                                   "--depth_loss_choice", "hybrid_loss"])):
+        model = os.path.join(args.work, f"run_{tag}")
+        if os.path.isdir(model):
+            shutil.rmtree(model)
+        run(PY + ["-m", "gsplat_tpu.scripts.train", "-s", scene,
+                  "-m", model, "--eval",
+                  "--iterations_override", str(args.iters),
+                  "--test_iterations", str(args.iters),
+                  "--save_iterations", str(args.iters),
+                  "--capacity", "262144",
+                  "--disable_gui_server"] + extra)
+        log = read_jsonl(os.path.join(model, "eval_log.jsonl"))
+        res[tag] = {r["split"]: {"psnr": r["psnr"], "l1": r["l1"]}
+                    for r in log if r["iter"] == args.iters}
+        tl = read_jsonl(os.path.join(model, "train_log.jsonl"))
+        res[tag]["final_gaussians"] = tl[-1]["n_alive"] if tl else None
+
+    art = {
+        "protocol": f"{args.iters}-iteration runs on the INDOOR ROOM scene "
+                    "(second scene family, Blender transforms format; "
+                    "full depth coverage - no open background)",
+        "scene": {"layout": "room", "format": "blender", "width": 640,
+                  "height": 480, "n_cams": 40, "llffhold_test": True},
+        "results": res,
+        "wall_clock_s": round(time.time() - t0, 1),
+        "reproduce": "python tools/run_room_protocol.py",
+    }
+    with open(os.path.join(REPO, "docs", "QUALITY_r4_room.json"), "w") as f:
+        json.dump(art, f, indent=2)
+    print(json.dumps(art, indent=2))
+
+
+if __name__ == "__main__":
+    main()
