@@ -296,11 +296,15 @@ def main():
         model = os.path.join(args.work, "run_densify")
         if os.path.isdir(model):
             shutil.rmtree(model)
-        train(scene_lo, model, 3000,
+        # 2990 iterations: the iteration-3000 opacity reset (reference
+        # schedule) would otherwise zero the model's opacities in the very
+        # snapshot being saved — the asset must be the TRAINED scene, not
+        # the post-reset transparent one
+        train(scene_lo, model, 2990,
               ["--densify_grad_threshold", "0.00004",
-               "--test_iterations", "3000", "--save_iterations", "3000",
+               "--test_iterations", "2990", "--save_iterations", "2990",
                "--capacity", "262144"])
-        ply = os.path.join(model, "point_cloud", "iteration_3000",
+        ply = os.path.join(model, "point_cloud", "iteration_2990",
                            "point_cloud.ply")
         with open(ply, "rb") as fh:
             head = fh.read(512).decode("latin1")
@@ -310,7 +314,7 @@ def main():
         shutil.copyfile(ply, dst)
         log = read_jsonl(os.path.join(model, "eval_log.jsonl"))
         return {"n_gaussians": n, "asset": "assets/trained_scene_big.ply",
-                "eval": [r for r in log if r["iter"] == 3000]}
+                "eval": [r for r in log if r["iter"] == 2990]}
 
     stage("G", g)
 
