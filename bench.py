@@ -231,18 +231,27 @@ def main():
     trained = {}
     assets_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "assets")
-    # prefer the hard (densification-at-scale, >=200k gaussian) asset when
-    # committed; fall back to the 7k quality-run asset
-    for ply_name in ("trained_scene_big.ply", "trained_scene.ply"):
+    # the hard (densification-at-scale, >=200k gaussian, ~3.4M instance)
+    # asset is the primary trained_* workload; the 7k quality-run asset
+    # (57.6k gaussians, ~1M instances — the regime of a typical trained
+    # capture at this view) is reported as trained_small_* context
+    for ply_name, prefix in (("trained_scene_big.ply", "trained_"),
+                             ("trained_scene.ply",
+                              "trained_small_" if trained or os.path.exists(
+                                  os.path.join(assets_dir,
+                                               "trained_scene_big.ply"))
+                              else "trained_")):
         ply = os.path.join(assets_dir, ply_name)
         if os.path.exists(ply):
             try:
-                trained = bench_trained_ply(ply, W, H, tgt, timed, sync)
-                trained["trained_asset"] = ply_name
+                r = bench_trained_ply(ply, W, H, tgt, timed, sync)
+                r = {k.replace("trained_", prefix, 1): v
+                     for k, v in r.items()}
+                r[prefix + "asset"] = ply_name
+                trained.update(r)
             except Exception as e:  # asset bench must never sink the headline
                 print(f"# trained-scene bench failed: {e!r}", file=sys.stderr,
                       flush=True)
-            break
 
     mpix = W * H / 1e6
     value = mpix / t_fb
