@@ -122,6 +122,9 @@ class PerformanceParams(ParamGroup):
         self.grad_precision = "bf16"  # bf16 | f32 per-instance grad rows
         self.feat_precision = "bf16"  # bf16 | f32 attr-table feature cols
         self.cull = "none"           # none | exact ellipse-tile culling
+        self.vs_prune = False        # ablation: restore the pre-r5 screen-
+                                     # radius prune (reference's is inert —
+                                     # models/densify.py::densify_and_prune)
         self.low_memory = False      # lazy GT decode (bounded host RAM)
         self.gt_cache = 0            # LRU cap on cached GT device batches
                                      # (0 = auto ~2 GB)

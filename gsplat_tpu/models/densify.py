@@ -70,7 +70,7 @@ def _scatter_rows(tree, tgt, src_tree):
     )
 
 
-@partial(jax.jit, static_argnames=("use_screen_size",))
+@partial(jax.jit, static_argnames=("use_screen_size", "vs_prune"))
 def densify_and_prune(
     params: GaussianParams,
     aux: GaussianAux,
@@ -82,6 +82,7 @@ def densify_and_prune(
     max_screen_size,
     percent_dense: float,
     use_screen_size: bool,
+    vs_prune: bool = False,
 ):
     C = params.xyz.shape[0]
     alive = aux.alive
@@ -147,11 +148,25 @@ def densify_and_prune(
     opacity = T.opacity_activation(params.opacity[:, 0])
     prune = prune | (alive & (opacity < min_opacity))
     if use_screen_size:
-        big_vs = aux.max_radii2d > max_screen_size
+        # Reference-exact semantics (root-caused r5): densify_and_prune calls
+        # clone -> densification_postfix and split -> densification_postfix
+        # BEFORE computing the prune mask, and densification_postfix zeroes
+        # max_radii2D for ALL points (gaussian_model.py:457-459).  So the
+        # check ``big_points_vs = self.max_radii2D > max_screen_size``
+        # (gaussian_model.py:516) always reads an all-zero tensor and NEVER
+        # fires — the screen-radius prune is inert in the reference.  Only
+        # the world-size prune (gaussian_model.py:517, scale > 0.1*extent)
+        # is live.  Pruning on the accumulated radii instead (r2-r4
+        # behavior, ``vs_prune=True`` below) mass-prunes near-camera wall
+        # gaussians every 100 iterations once it > opacity_reset_interval
+        # and was the actual cause of the closed-room "reset collapse"
+        # (docs/QUALITY_r5_room_NOTES.md).
         big_ws = jnp.max(T.scaling_activation(params.scaling), axis=1) > 0.1 * extent
-        # newly created rows have max_radii2d == 0 -> never screen-pruned
-        big_vs = big_vs & ~newly
-        prune = prune | (alive & (big_vs | big_ws))
+        prune = prune | (alive & big_ws)
+        if vs_prune:  # debug/ablation arm only — NOT reference semantics
+            big_vs = aux.max_radii2d > max_screen_size
+            # newly created rows have max_radii2d == 0 -> never screen-pruned
+            prune = prune | (alive & big_vs & ~newly)
 
     n_pruned = jnp.sum(prune & alive) - n_split  # excluding split originals
     alive = alive & ~prune

@@ -149,7 +149,9 @@ def main(argv=None):
         gt_cache=getattr(args, "gt_cache", 0),
         convert_shs_python=pipe.convert_SHs_python,
         compute_cov3d_python=pipe.compute_cov3D_python,
-        debug_from=args.debug_from)
+        debug_from=args.debug_from,
+        vs_prune=getattr(args, "vs_prune", False),
+        white_background=dataset.white_background)
     if dataset.able_appearance_embedding and args.start_checkpoint:
         # resume the appearance state saved beside the gaussian checkpoint
         app_ckpt = os.path.join(
@@ -169,6 +171,8 @@ def main(argv=None):
                "n_alive": tr.model.num_alive}
         if bool(metrics["overflow"]):
             rec["overflow"] = True
+        if tr.last_densify is not None and tr.last_densify["iter"] > it - 100:
+            rec["densify"] = tr.last_densify
         metrics_log.write(json.dumps(rec) + "\n")
         metrics_log.flush()
         if it % 200 == 0:

@@ -253,7 +253,7 @@ class Trainer:
                  data_parallel=1, use_appearance=False, tile_parallel=1,
                  gt_cache=0, feat_precision="bf16",
                  convert_shs_python=False, compute_cov3d_python=False,
-                 debug_from=-1):
+                 debug_from=-1, vs_prune=False, white_background=False):
         # grad_precision: per-instance gradient rows rounded to bf16 before
         # the exact f32 per-gaussian sum (halves the reduce-sort payload,
         # ~0.2% relative rounding on individual terms — the training
@@ -281,6 +281,14 @@ class Trainer:
         # reference's pipe.debug snapshot_fw.dump, diff_gaussian_rasterization/
         # __init__.py:87-94); -1 = off
         self.debug_from = debug_from
+        # vs_prune=True restores the pre-r5 screen-radius prune — an
+        # ablation arm only; the reference's big_points_vs check is inert
+        # (see models/densify.py::densify_and_prune)
+        self.vs_prune = vs_prune
+        # white_background triggers the reference's extra opacity reset at
+        # densify_from_iter (train.py:178-180)
+        self.white_background = white_background
+        self.last_densify = None  # dict written after each densify call
         if (convert_shs_python or compute_cov3d_python) and (
                 (data_parallel and data_parallel != 1) or tile_parallel > 1):
             raise ValueError("convert_SHs_python/compute_cov3D_python are "
@@ -691,7 +699,14 @@ class Trainer:
                         opt.densify_grad_threshold, 0.005,
                         self.scene.cameras_extent, size_thr,
                         opt.percent_dense,
-                        use_screen_size=it > opt.opacity_reset_interval)
+                        use_screen_size=it > opt.opacity_reset_interval,
+                        vs_prune=self.vs_prune)
+                    self.last_densify = {
+                        "iter": it, "n_cloned": int(dstats.n_cloned),
+                        "n_split": int(dstats.n_split),
+                        "n_pruned": int(dstats.n_pruned),
+                        "n_dropped": int(dstats.n_dropped),
+                        "n_alive": int(dstats.n_alive)}
                     if bool(dstats.n_dropped):
                         print(f"[it {it}] WARNING: {int(dstats.n_dropped)} "
                               "densify targets dropped (capacity full)")
@@ -715,7 +730,11 @@ class Trainer:
                                 // blk * blk)
                             self._precompile_async(m.active_sh_degree,
                                                    target)
-                if it % opt.opacity_reset_interval == 0:
+                if it % opt.opacity_reset_interval == 0 or (
+                        self.white_background
+                        and it == opt.densify_from_iter):
+                    # second clause: reference train.py:178-180 resets once
+                    # at densify_from_iter on white-background datasets
                     m.params, m.opt_state = reset_opacity(
                         m.params, m.aux, m.opt_state)
                     self._reset_iter = it

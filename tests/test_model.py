@@ -130,6 +130,35 @@ def test_densify_prune_low_opacity(rng):
     assert int(stats.n_pruned) == 10
 
 
+def test_screen_size_prune_reference_semantics(rng):
+    """The reference's big_points_vs check reads max_radii2D AFTER
+    densification_postfix zeroed it (gaussian_model.py:457-459 run before
+    :516), so the screen-RADIUS prune never fires; only the world-size
+    prune (scale > 0.1*extent) is live.  vs_prune=True is the r2-r4
+    behavior kept as an ablation arm."""
+    m, _, _ = _mini_model(rng, n=30, capacity=64)
+    radii = np.zeros(64, np.float32)
+    radii[:30] = 500.0  # enormous screen radii on every alive gaussian
+    aux = m.aux._replace(max_radii2d=jnp.asarray(radii))
+    scaling = np.array(m.params.scaling)
+    scaling[:30] = np.log(0.001)            # tiny world size
+    scaling[:3] = np.log(0.15)              # rows 0-2: > 0.1 * extent(=1)
+    params = m.params._replace(scaling=jnp.asarray(scaling))
+
+    common = dict(max_grad=0.5, min_opacity=0.005, extent=1.0,
+                  max_screen_size=20.0, percent_dense=0.01,
+                  use_screen_size=True)
+    # reference semantics (default): only the 3 world-size rows prune
+    _, a2, _, stats = densify_and_prune(
+        params, aux, m.opt_state, jax.random.PRNGKey(0), **common)
+    assert int(stats.n_alive) == 27
+    # ablation arm: radii-based prune removes everything
+    _, a3, _, stats3 = densify_and_prune(
+        params, aux, m.opt_state, jax.random.PRNGKey(0), vs_prune=True,
+        **common)
+    assert int(stats3.n_alive) == 0
+
+
 def test_reset_opacity(rng):
     m, _, _ = _mini_model(rng, n=10, capacity=32)
     p2, o2 = reset_opacity(m.params, m.aux, m.opt_state)
