@@ -165,7 +165,13 @@ def make_parallel_appearance_step(mesh: Mesh, cfg: RasterizeConfig, opt,
             params, m2d_off, b, key, app_params)
 
         gparams = jax.lax.pmean(gparams, "data")
-        g_app = jax.lax.pmean(g_app, "data")
+        # Embedding rows are DISJOINT per device (each camera touches only
+        # its own uid row), so pmean would shrink the per-row gradient by
+        # 1/N_devices — a silent per-row LR change vs the reference's
+        # single-camera update (ADVICE r4).  psum restores each row's own
+        # full gradient; the shared MLP weights keep mean-of-grads.
+        g_app = jax.lax.pmean(g_app, "data")._replace(
+            emb=jax.lax.psum(g_app.emb, "data"))
         loss = jax.lax.pmean(loss, "data")
 
         if track_stats:

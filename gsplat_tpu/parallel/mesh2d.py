@@ -42,12 +42,21 @@ def make_2d_mesh(data: int, tile: int) -> Mesh:
 
 def make_2d_train_step(mesh: Mesh, cfg_full: RasterizeConfig, opt,
                        sh_degree: int, depth_loss_choice, use_seg: bool,
-                       bg: jnp.ndarray, track_stats: bool = True):
+                       bg: jnp.ndarray, track_stats: bool = True,
+                       use_appearance: bool = False, app_lr: float = 1e-4):
     """Jitted step(params, opt_state, aux, stacked_batch, lrs, key) over an
     (M, N) data x tile mesh; ``stacked_batch`` leaves have leading dim M.
     Semantics match ``data_parallel.make_parallel_train_step`` (mean loss
     over the M cameras, per-camera densify stats psum'd/pmax'd) composed
-    with ``tile_parallel``'s bit-exact row slicing."""
+    with ``tile_parallel``'s bit-exact row slicing.
+
+    With ``use_appearance`` (VERDICT r4 item 6) the step takes the 8-arg
+    appearance form.  Per-camera RGB factors are computed once from the
+    replicated app_params (vmap over the M cameras) and multiplied into
+    each camera's row-sharded image; gradient semantics match
+    data_parallel.make_parallel_appearance_step — embedding rows get their
+    own full per-camera gradient (rows are disjoint, so the 1/M of the
+    mean loss is scaled back out), shared MLP weights get mean-of-grads."""
     M = mesh.shape["data"]
     N = mesh.shape["tile"]
     H, W = cfg_full.height, cfg_full.width
@@ -108,7 +117,8 @@ def make_2d_train_step(mesh: Mesh, cfg_full: RasterizeConfig, opt,
             loss = loss + seg_loss
         return loss, l1, depth_loss, seg_loss
 
-    def loss_fn(params: GaussianParams, m2d_off, batch, key):
+    def loss_fn(params: GaussianParams, m2d_off, batch, key,
+                app_params=None):
         segments = (T.segment_activation(params.segment) if use_seg else
                     jnp.zeros((params.xyz.shape[0], S)))
         img, depth, seg, radii, vis, overflow, nrend = sharded_fwd(
@@ -119,6 +129,12 @@ def make_2d_train_step(mesh: Mesh, cfg_full: RasterizeConfig, opt,
             segments, m2d_off,
             batch["viewmatrix"], batch["projmatrix"], batch["campos"],
             batch["tan_fovx"], batch["tan_fovy"])
+        if use_appearance and app_params is not None:
+            from gsplat_tpu.models import appearance as app_lib
+            factors = jax.vmap(
+                lambda uid, vm: app_lib.apply(app_params, uid, vm))(
+                batch["uid"], batch["viewmatrix"])        # [M, 3]
+            img = img * factors[:, :, None, None]
         keys = jax.random.split(key, M)
         losses, l1s, dls, sls = jax.vmap(cam_loss)(
             img, batch["gt_image"], depth, batch["gt_depth"],
@@ -130,41 +146,30 @@ def make_2d_train_step(mesh: Mesh, cfg_full: RasterizeConfig, opt,
                   "num_rendered": nrend}
         return jnp.mean(losses), auxout
 
-    @jax.jit
-    def step(params, opt_state, aux, batch, lrs, key):
-        old = (params, opt_state, aux)
-        Pn = params.xyz.shape[0]
-        m2d_off = jnp.zeros((M, Pn, 2), jnp.float32)
-        (loss, auxout), (gparams, g_m2d) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(params, m2d_off, batch,
-                                                   key)
-        radii = auxout["radii"]                                   # [M, P]
-        if track_stats:
-            # per-camera stats summed over the M cameras, matching the
-            # data_parallel psum/pmax semantics.  The mean loss carries a
-            # 1/M into g_m2d; scale it back out so each camera contributes
-            # its own full-gradient norm like the reference's
-            # add_densification_stats does per step.
-            scale = jnp.array([0.5 * cfg_full.width, 0.5 * cfg_full.height])
-            gnorm = jnp.linalg.norm(g_m2d * M * scale[None, None, :],
-                                    axis=-1)                      # [M, P]
-            vis = radii > 0
-            aux = aux._replace(
-                xyz_gradient_accum=aux.xyz_gradient_accum
-                + jnp.sum(jnp.where(vis, gnorm, 0.0), axis=0),
-                denom=aux.denom + jnp.sum(vis.astype(jnp.float32), axis=0),
-                max_radii2d=jnp.maximum(
-                    aux.max_radii2d,
-                    jnp.max(jnp.where(vis, radii.astype(jnp.float32), 0.0),
-                            axis=0)),
-            )
-        lrs_tree = GaussianParams(**{k: lrs[k]
-                                     for k in GaussianParams._fields})
-        params, opt_state = adam.update(gparams, opt_state, params, lrs_tree)
-        from gsplat_tpu.train.trainer import gate_on_overflow
-        params, opt_state, aux = gate_on_overflow(
-            auxout["overflow"] > 0, (params, opt_state, aux), old)
-        metrics = {
+    def _update_stats(aux, g_m2d, radii):
+        if not track_stats:
+            return aux
+        # per-camera stats summed over the M cameras, matching the
+        # data_parallel psum/pmax semantics.  The mean loss carries a
+        # 1/M into g_m2d; scale it back out so each camera contributes
+        # its own full-gradient norm like the reference's
+        # add_densification_stats does per step.
+        scale = jnp.array([0.5 * cfg_full.width, 0.5 * cfg_full.height])
+        gnorm = jnp.linalg.norm(g_m2d * M * scale[None, None, :],
+                                axis=-1)                          # [M, P]
+        vis = radii > 0
+        return aux._replace(
+            xyz_gradient_accum=aux.xyz_gradient_accum
+            + jnp.sum(jnp.where(vis, gnorm, 0.0), axis=0),
+            denom=aux.denom + jnp.sum(vis.astype(jnp.float32), axis=0),
+            max_radii2d=jnp.maximum(
+                aux.max_radii2d,
+                jnp.max(jnp.where(vis, radii.astype(jnp.float32), 0.0),
+                        axis=0)),
+        )
+
+    def _metrics(loss, auxout):
+        return {
             "loss": loss, "l1": auxout["l1"],
             "depth_loss": auxout["depth_loss"],
             "seg_loss": auxout["seg_loss"],
@@ -173,6 +178,54 @@ def make_2d_train_step(mesh: Mesh, cfg_full: RasterizeConfig, opt,
             "n_visible": jnp.max(jnp.sum(
                 auxout["visibility"].astype(jnp.int32), axis=1)),
         }
-        return params, opt_state, aux, metrics
+
+    def _lrs_tree(lrs):
+        return GaussianParams(**{k: lrs[k] for k in GaussianParams._fields})
+
+    from gsplat_tpu.train.trainer import gate_on_overflow
+
+    if use_appearance:
+        @jax.jit
+        def app_step(params, opt_state, aux, app_params, app_opt_state,
+                     batch, lrs, key):
+            old = (params, opt_state, aux, app_params, app_opt_state)
+            Pn = params.xyz.shape[0]
+            m2d_off = jnp.zeros((M, Pn, 2), jnp.float32)
+            (loss, auxout), (gparams, g_m2d, g_app) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 4), has_aux=True)(
+                params, m2d_off, batch, key, app_params)
+            aux = _update_stats(aux, g_m2d, auxout["radii"])
+            params, opt_state = adam.update(gparams, opt_state, params,
+                                            _lrs_tree(lrs))
+            # disjoint embedding rows take their full per-camera gradient
+            # (scale the mean loss's 1/M back out); shared MLP weights keep
+            # the mean — matching data_parallel's psum/pmean split
+            g_app = g_app._replace(emb=g_app.emb * M)
+            app_lrs = jax.tree_util.tree_map(lambda _: app_lr, app_params)
+            app_params, app_opt_state = adam.update(
+                g_app, app_opt_state, app_params, app_lrs)
+            (params, opt_state, aux, app_params,
+             app_opt_state) = gate_on_overflow(
+                auxout["overflow"] > 0,
+                (params, opt_state, aux, app_params, app_opt_state), old)
+            return (params, opt_state, aux, app_params, app_opt_state,
+                    _metrics(loss, auxout))
+
+        return app_step
+
+    @jax.jit
+    def step(params, opt_state, aux, batch, lrs, key):
+        old = (params, opt_state, aux)
+        Pn = params.xyz.shape[0]
+        m2d_off = jnp.zeros((M, Pn, 2), jnp.float32)
+        (loss, auxout), (gparams, g_m2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, m2d_off, batch,
+                                                   key)
+        aux = _update_stats(aux, g_m2d, auxout["radii"])
+        params, opt_state = adam.update(gparams, opt_state, params,
+                                        _lrs_tree(lrs))
+        params, opt_state, aux = gate_on_overflow(
+            auxout["overflow"] > 0, (params, opt_state, aux), old)
+        return params, opt_state, aux, _metrics(loss, auxout)
 
     return step

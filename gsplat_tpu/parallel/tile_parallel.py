@@ -119,7 +119,9 @@ def slice_camera(cam, n_devices: int) -> dict:
 
 def make_tile_sharded_train_step(mesh: Mesh, cfg_full: RasterizeConfig, opt,
                                  sh_degree: int, depth_loss_choice,
-                                 use_seg: bool, bg: jnp.ndarray):
+                                 use_seg: bool, bg: jnp.ndarray,
+                                 use_appearance: bool = False,
+                                 app_lr: float = 1e-4):
     """Full training step for ONE large camera sharded by tile rows across
     the mesh: forward slice-per-device, loss on the row-sharded full image,
     backward through shard_map (per-gaussian grads psum over ICI), Adam
@@ -127,13 +129,23 @@ def make_tile_sharded_train_step(mesh: Mesh, cfg_full: RasterizeConfig, opt,
     full-image step (see tests/test_tile_parallel.py).
 
     Signature matches train.trainer.make_train_step's step:
-    step(params, opt_state, aux, batch, lrs, key).
+    step(params, opt_state, aux, batch, lrs, key) — or, with
+    ``use_appearance``, make_appearance_step's 8-arg form.
+
+    Appearance composition (VERDICT r4 item 6): the per-camera RGB factors
+    depend only on the replicated app_params + camera (reference
+    gaussian_renderer/__init__.py:112-199), so they are computed ONCE
+    outside shard_map and multiplied into the row-sharded full image; their
+    gradient flows through plain XLA ops (GSPMD reduces the row-sharded
+    image-grad contractions over ICI) and equals the single-device
+    full-image gradient exactly.
     """
     from gsplat_tpu.core import transforms as T
     from gsplat_tpu.models import adam
     from gsplat_tpu.models.densify import add_densification_stats
     from gsplat_tpu.models.gaussians import GaussianParams
     from gsplat_tpu.train import losses as L
+    from gsplat_tpu.train.trainer import gate_on_overflow
 
     D = mesh.shape["tile"]
     H, W = cfg_full.height, cfg_full.width
@@ -168,7 +180,8 @@ def make_tile_sharded_train_step(mesh: Mesh, cfg_full: RasterizeConfig, opt,
                    P(None, None, "tile", None), rep, rep, rep, rep),
     )
 
-    def loss_fn(params: GaussianParams, m2d_off, batch, key):
+    def loss_fn(params: GaussianParams, m2d_off, batch, key,
+                app_params=None):
         segments = (T.segment_activation(params.segment) if use_seg else
                     jnp.zeros((params.xyz.shape[0], max(1, cfg.num_class))))
         img_s, depth_s, seg_s, radii, vis, overflow, nrend = sharded_fwd(
@@ -180,6 +193,11 @@ def make_tile_sharded_train_step(mesh: Mesh, cfg_full: RasterizeConfig, opt,
             batch["viewmatrix"], batch["projmatrix"], batch["campos"],
             batch["tan_fovx"], batch["tan_fovy"])
         image = img_s.reshape(3, H, W)
+        if use_appearance and app_params is not None:
+            from gsplat_tpu.models import appearance as app_lib
+            factors = app_lib.apply(app_params, batch["uid"],
+                                    batch["viewmatrix"])
+            image = image * factors.reshape(3, 1, 1)
         gt = batch["gt_image"]
         l1 = L.l1_loss(image, gt)
         loss = ((1.0 - opt.lambda_dssim) * l1
@@ -203,6 +221,46 @@ def make_tile_sharded_train_step(mesh: Mesh, cfg_full: RasterizeConfig, opt,
                   "overflow": overflow, "num_rendered": nrend}
         return loss, auxout
 
+    def _metrics(loss, auxout):
+        return {
+            "loss": loss, "l1": auxout["l1"],
+            "depth_loss": auxout["depth_loss"],
+            "seg_loss": auxout["seg_loss"],
+            "overflow": auxout["overflow"],
+            "num_rendered": auxout["num_rendered"],
+            "n_visible": jnp.sum(auxout["visibility"]),
+        }
+
+    def _lrs_tree(lrs):
+        return GaussianParams(**{k: lrs[k] for k in GaussianParams._fields})
+
+    if use_appearance:
+        @jax.jit
+        def app_step(params, opt_state, aux, app_params, app_opt_state,
+                     batch, lrs, key):
+            old = (params, opt_state, aux, app_params, app_opt_state)
+            Pn = params.xyz.shape[0]
+            m2d_off = jnp.zeros((Pn, 2), jnp.float32)
+            (loss, auxout), (gparams, g_m2d, g_app) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 4), has_aux=True)(
+                params, m2d_off, batch, key, app_params)
+            scale = jnp.array([0.5 * W, 0.5 * H])
+            aux = add_densification_stats(aux, g_m2d * scale[None, :],
+                                          auxout["radii"])
+            params, opt_state = adam.update(gparams, opt_state, params,
+                                            _lrs_tree(lrs))
+            app_lrs = jax.tree_util.tree_map(lambda _: app_lr, app_params)
+            app_params, app_opt_state = adam.update(
+                g_app, app_opt_state, app_params, app_lrs)
+            (params, opt_state, aux, app_params,
+             app_opt_state) = gate_on_overflow(
+                auxout["overflow"] > 0,
+                (params, opt_state, aux, app_params, app_opt_state), old)
+            return (params, opt_state, aux, app_params, app_opt_state,
+                    _metrics(loss, auxout))
+
+        return app_step, loss_fn
+
     @jax.jit
     def step(params, opt_state, aux, batch, lrs, key):
         old = (params, opt_state, aux)
@@ -214,20 +272,10 @@ def make_tile_sharded_train_step(mesh: Mesh, cfg_full: RasterizeConfig, opt,
         scale = jnp.array([0.5 * W, 0.5 * H])
         aux = add_densification_stats(aux, g_m2d * scale[None, :],
                                       auxout["radii"])
-        lrs_tree = GaussianParams(**{k: lrs[k] for k in
-                                     GaussianParams._fields})
-        params, opt_state = adam.update(gparams, opt_state, params, lrs_tree)
-        from gsplat_tpu.train.trainer import gate_on_overflow
+        params, opt_state = adam.update(gparams, opt_state, params,
+                                        _lrs_tree(lrs))
         params, opt_state, aux = gate_on_overflow(
             auxout["overflow"] > 0, (params, opt_state, aux), old)
-        metrics = {
-            "loss": loss, "l1": auxout["l1"],
-            "depth_loss": auxout["depth_loss"],
-            "seg_loss": auxout["seg_loss"],
-            "overflow": auxout["overflow"],
-            "num_rendered": auxout["num_rendered"],
-            "n_visible": jnp.sum(auxout["visibility"]),
-        }
-        return params, opt_state, aux, metrics
+        return params, opt_state, aux, _metrics(loss, auxout)
 
     return step, loss_fn

@@ -291,6 +291,10 @@ class Trainer:
         self.last_densify = None  # dict written after each densify call
         if (convert_shs_python or compute_cov3d_python) and (
                 (data_parallel and data_parallel != 1) or tile_parallel > 1):
+            # NOTE: this guard must stay ahead of any parallel step builder
+            # — the parallel step factories (incl. the appearance variants)
+            # do not thread these oracle flags through, so relaxing it
+            # would silently ignore them (ADVICE r4).
             raise ValueError("convert_SHs_python/compute_cov3D_python are "
                              "single-device debug backends")
         cams = scene.getTrainCameras()
@@ -303,11 +307,11 @@ class Trainer:
             # naturally with the camera batch (each device looks up its own
             # uid row), appearance grads pmean over ICI like the gaussian
             # grads (parallel/data_parallel.py::make_parallel_appearance_step)
+            # Composable with --tile_parallel / the 2D mesh too (r5): the
+            # factors are per-camera, computed once outside shard_map and
+            # multiplied into the row-sharded image (tile_parallel.py /
+            # mesh2d.py appearance paths).
             from gsplat_tpu.models.appearance import AppearanceOptimizer
-            if tile_parallel > 1:
-                raise ValueError("appearance embedding + tile parallelism "
-                                 "is not supported (the factors are "
-                                 "per-camera, not per-tile-slice)")
             n_uid = max((getattr(c, "uid", 0) for c in cams), default=0) + 1
             self.appearance = AppearanceOptimizer(max(n_uid, len(cams)))
         self.mesh = None
@@ -403,18 +407,22 @@ class Trainer:
         self._batches = OrderedDict()
 
     def _build_step(self, sh_degree, max_instances):
+        use_app = self.appearance is not None
+        app_lr = self.appearance.lr if use_app else 1e-4
         if self.data_parallel and self.tile_parallel:
             from gsplat_tpu.parallel.mesh2d import make_2d_train_step
             return make_2d_train_step(
                 self.mesh, self._cfg(sh_degree, max_instances), self.opt,
-                sh_degree, self.depth_loss_choice, self.use_seg, self.bg)
+                sh_degree, self.depth_loss_choice, self.use_seg, self.bg,
+                use_appearance=use_app, app_lr=app_lr)
         if self.tile_parallel:
             from gsplat_tpu.parallel.tile_parallel import (
                 make_tile_sharded_train_step,
             )
             return make_tile_sharded_train_step(
                 self.mesh, self._cfg(sh_degree, max_instances), self.opt,
-                sh_degree, self.depth_loss_choice, self.use_seg, self.bg)[0]
+                sh_degree, self.depth_loss_choice, self.use_seg, self.bg,
+                use_appearance=use_app, app_lr=app_lr)[0]
         if self.data_parallel:
             if self.appearance is not None:
                 from gsplat_tpu.parallel.data_parallel import (

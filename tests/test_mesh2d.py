@@ -90,6 +90,76 @@ def test_mesh2d_train_step_matches_single_device(rng):
                                   np.asarray(a1.max_radii2d))
 
 
+def test_mesh2d_appearance_matches_single_device(rng):
+    """VERDICT r4 item 6: appearance composed over the (data x tile) mesh.
+    Single-device oracle: per-camera grads from make_loss_fn(use_appearance)
+    — gaussians and the shared appearance MLP take the camera mean,
+    disjoint embedding rows take their own full per-camera gradient
+    (data_parallel's psum/pmean split)."""
+    from gsplat_tpu.models import adam
+    from gsplat_tpu.models import appearance as app_lib
+
+    M, N = 2, 2
+    H = W = 64
+    cams = []
+    for i in range(M):
+        cam = make_camera(W, H, dist=3.5 + 0.6 * i)
+        cam.uid = i
+        cam.image = rng.uniform(size=(3, H, W)).astype(np.float32)
+        cams.append(cam)
+    m = _model(rng, num_class=0)
+    app = app_lib.AppearanceOptimizer(M)
+    app.params = app.params._replace(
+        emb=jnp.asarray(rng.standard_normal((M, 16)).astype(np.float32)))
+    opt = OptimizationParams()
+    bg = jnp.zeros(3)
+    cfg = RasterizeConfig(width=W, height=H, max_instances=1 << 14,
+                          k_max=512, backend="jnp")
+    batches = [camera_batch(c) for c in cams]
+    stacked = stack_camera_batches(batches)
+    lrs = {k: jnp.float32(1e-3) for k in GaussianParams._fields}
+    key = jax.random.PRNGKey(0)
+
+    # single-device oracle
+    loss_fn = make_loss_fn(cfg, opt, 3, None, False, bg,
+                           use_appearance=True)
+    P = m.params.xyz.shape[0]
+    m2d = jnp.zeros((P, 2), jnp.float32)
+    gsum, asum = None, None
+    for b in batches:
+        g, ga = jax.grad(
+            lambda p, a: loss_fn(p, m2d, b, key, a)[0],
+            argnums=(0, 1))(m.params, app.params)
+        gsum = (g if gsum is None
+                else jax.tree_util.tree_map(jnp.add, gsum, g))
+        asum = (ga if asum is None
+                else jax.tree_util.tree_map(jnp.add, asum, ga))
+    gmean = jax.tree_util.tree_map(lambda x: x / M, gsum)
+    aref = jax.tree_util.tree_map(lambda x: x / M,
+                                  asum)._replace(emb=asum.emb)
+    lrs_tree = GaussianParams(**{k: lrs[k] for k in GaussianParams._fields})
+    p1, _ = adam.update(gmean, m.opt_state, m.params, lrs_tree)
+    app_lrs = jax.tree_util.tree_map(lambda _: app.lr, app.params)
+    ap1, _ = adam.update(aref, app.opt_state, app.params, app_lrs)
+
+    mesh = make_2d_mesh(M, N)
+    step = make_2d_train_step(mesh, cfg, opt, 3, None, False, bg,
+                              use_appearance=True, app_lr=app.lr)
+    p2, o2, a2, ap2, ao2, met2 = step(m.params, m.opt_state, m.aux,
+                                      app.params, app.opt_state, stacked,
+                                      lrs, key)
+
+    assert np.isfinite(float(met2["loss"]))
+    for k in GaussianParams._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(p2, k)), np.asarray(getattr(p1, k)),
+            atol=1e-5, err_msg=f"param {k}")
+    for k in ap2._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ap2, k)), np.asarray(getattr(ap1, k)),
+            atol=1e-5, err_msg=f"appearance param {k}")
+
+
 def test_mesh2d_cli_smoke(tmp_path):
     """--data_parallel 2 --tile_parallel 2 runs end-to-end on the 8-device
     CPU mesh through the training CLI (the product surface)."""
