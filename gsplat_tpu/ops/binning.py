@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gsplat_tpu.ops.pallas_util import vma_of
 
-from gsplat_tpu.ops.preprocess import PreprocessOut
+from gsplat_tpu.ops.preprocess import TILE_X, TILE_Y, PreprocessOut
 
 INF_DEPTH_BITS = 0x7F800000  # +inf float bits: sorts after every real depth
 
@@ -286,8 +286,8 @@ def _bin_gaussians_culled(pre: PreprocessOut, grid_x: int, grid_y: int,
     ca_g = jnp.maximum(ca, 1e-12)
     cc_g = jnp.maximum(cc, 1e-12)
     tyf = ty_r.astype(jnp.float32)
-    l = 16.0 * tyf - my
-    h = l + 15.0
+    l = float(TILE_Y) * tyf - my
+    h = l + float(TILE_Y - 1)
     abar = jnp.maximum(ca_g - cb * cb / cc_g, 1e-12)
     cbar = jnp.maximum(cc_g - cb * cb / ca_g, 1e-12)
     dyc = jnp.clip(0.0, l, h)
@@ -305,8 +305,10 @@ def _bin_gaussians_culled(pre: PreprocessOut, grid_x: int, grid_y: int,
     dy_lo = cb * dx_e / cc_g
     dx_lo = jnp.where((dy_lo >= l) & (dy_lo <= h), -dx_e,
                       edge_root(jnp.where(dy_lo < l, l, h), -1.0))
-    X_lo = jnp.maximum(jnp.ceil((mx + dx_lo - 15.0) / 16.0), rx0)
-    X_hi = jnp.minimum(jnp.floor((mx + dx_hi) / 16.0), rx0 + rwg - 1.0)
+    X_lo = jnp.maximum(
+        jnp.ceil((mx + dx_lo - float(TILE_X - 1)) / float(TILE_X)), rx0)
+    X_hi = jnp.minimum(jnp.floor((mx + dx_hi) / float(TILE_X)),
+                       rx0 + rwg - 1.0)
     widthf = jnp.where(nonempty & (gid_r < P), X_hi - X_lo + 1.0, 0.0)
     width = jnp.maximum(widthf, 0.0).astype(jnp.int32)
     X_lo_i = jnp.where(width > 0, X_lo.astype(jnp.int32), 0)

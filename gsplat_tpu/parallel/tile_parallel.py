@@ -40,8 +40,10 @@ def make_tile_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 
 def _slice_cfg(cfg_full: RasterizeConfig, D: int) -> RasterizeConfig:
+    from gsplat_tpu.ops.preprocess import TILE_Y
     H, W = cfg_full.height, cfg_full.width
-    assert H % (16 * D) == 0, "height must split into whole tile rows per device"
+    assert H % (TILE_Y * D) == 0, \
+        "height must split into whole tile rows per device"
     hs = H // D
     return RasterizeConfig(
         width=W, height=hs, sh_degree=cfg_full.sh_degree,

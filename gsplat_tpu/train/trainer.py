@@ -317,11 +317,12 @@ class Trainer:
         self.mesh = None
         self.data_parallel = 0
         self.tile_parallel = tile_parallel if tile_parallel > 1 else 0
-        if self.tile_parallel and H % (16 * self.tile_parallel) != 0:
+        from gsplat_tpu.ops.preprocess import TILE_Y
+        if self.tile_parallel and H % (TILE_Y * self.tile_parallel) != 0:
             raise ValueError(
                 f"--tile_parallel {self.tile_parallel} needs the image "
-                f"height ({H}) to split into whole 16-px tile rows per "
-                "device")
+                f"height ({H}) to split into whole {TILE_Y}-px tile rows "
+                "per device")
         if data_parallel and data_parallel != 1:
             navail = len(jax.devices()) // max(1, self.tile_parallel)
             ndev = (navail if data_parallel < 0
