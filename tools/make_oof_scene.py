@@ -38,6 +38,7 @@ LIGHT_DIR = LIGHT_DIR / np.linalg.norm(LIGHT_DIR)   # points TOWARD light
 AMBIENT = 0.35
 
 FLOOR_Y = -1.2
+FLOOR_EXTENT = 6.0  # bounded plane; beyond it rays hit the black sky
 SPHERES = [  # (center, radius, class)
     (np.array([-1.0, -0.55, 0.3]), 0.65, CLS_S1),
     (np.array([0.9, -0.65, -0.5]), 0.55, CLS_S2),
@@ -86,10 +87,14 @@ def intersect_all(o, d, skip_eps=1e-4):
     cls = np.zeros(N, np.int32)
     nrm = np.zeros((N, 3))
 
-    # floor plane y = FLOOR_Y (only from above)
+    # bounded floor plane y = FLOOR_Y (an infinite plane puts an
+    # infinite-frequency checker at the horizon — unresolvable moire)
     dy = d[:, 1]
     tp = np.where(np.abs(dy) > 1e-9, (FLOOR_Y - o[:, 1]) / dy, np.inf)
-    hitp = (tp > skip_eps) & (tp < t)
+    pf = o + tp[:, None] * d
+    inb = (np.abs(pf[:, 0]) <= FLOOR_EXTENT) & \
+        (np.abs(pf[:, 2]) <= FLOOR_EXTENT)
+    hitp = (tp > skip_eps) & (tp < t) & inb
     t = np.where(hitp, tp, t)
     cls = np.where(hitp, CLS_FLOOR, cls)
     nrm[hitp] = [0.0, 1.0, 0.0]
@@ -162,26 +167,38 @@ def shade(cls, pt, nrm):
     return np.clip(albedo * shade_f[:, None], 0, 1)
 
 
-def render_view(Rcw, campos, W, H, tanx, tany):
+def render_view(Rcw, campos, W, H, tanx, tany, ss=3):
     """-> (rgb [H,W,3], z_cam [H,W], cls [H,W]).  Pixel centers use the
     rasterizer's ndc2pix convention: ndc = (2*pix + 1)/S - 1
     (auxiliary.h:40-43); rays are scaled so t == camera-space z, the same
-    depth the rasterizer composites."""
-    px, py = np.meshgrid(np.arange(W), np.arange(H))
-    ndc_x = (2.0 * px + 1.0) / W - 1.0
-    ndc_y = (2.0 * py + 1.0) / H - 1.0
-    d_cam = np.stack([ndc_x * tanx, ndc_y * tany, np.ones_like(ndc_x)],
-                     axis=-1).reshape(-1, 3)
-    d_world = d_cam @ Rcw          # rows of Rcw are cam axes in world
-    o = np.broadcast_to(campos, d_world.shape)
-    t, cls, pt, nrm = intersect_all(o, d_world)
-    rgb = np.zeros((H * W, 3))
-    hit = cls > 0
-    if hit.any():
-        rgb[hit] = shade(cls[hit], pt[hit], nrm[hit])
-    z = np.where(np.isfinite(t), t, 0.0)
-    return (rgb.reshape(H, W, 3), z.reshape(H, W),
-            cls.reshape(H, W).astype(np.uint8))
+    depth the rasterizer composites.  ``ss``: box-filter supersampling
+    (ss*ss rays per pixel) — the sensor-integration a real capture has;
+    class/depth take the central sample (labels don't average)."""
+    rgb_acc = np.zeros((H * W, 3))
+    z_c = cls_c = None
+    offs = (np.arange(ss) + 0.5) / ss - 0.5   # sub-pixel offsets
+    mid = ss // 2
+    for a, oy in enumerate(offs):
+        for b, ox in enumerate(offs):
+            px, py = np.meshgrid(np.arange(W) + ox, np.arange(H) + oy)
+            ndc_x = (2.0 * px + 1.0) / W - 1.0
+            ndc_y = (2.0 * py + 1.0) / H - 1.0
+            d_cam = np.stack([ndc_x * tanx, ndc_y * tany,
+                              np.ones_like(ndc_x)], axis=-1).reshape(-1, 3)
+            d_world = d_cam @ Rcw  # rows of Rcw are cam axes in world
+            o = np.broadcast_to(campos, d_world.shape)
+            t, cls, pt, nrm = intersect_all(o, d_world)
+            rgb = np.zeros((H * W, 3))
+            hit = cls > 0
+            if hit.any():
+                rgb[hit] = shade(cls[hit], pt[hit], nrm[hit])
+            rgb_acc += rgb
+            if a == mid and b == mid:
+                z_c = np.where(np.isfinite(t), t, 0.0)
+                cls_c = cls
+    rgb = rgb_acc / (ss * ss)
+    return (rgb.reshape(H, W, 3), z_c.reshape(H, W),
+            cls_c.reshape(H, W).astype(np.uint8))
 
 
 def sample_init_points(rng, n_points, noise):
