@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Converged heavy bench asset (VERDICT r4 item 5): the densification-at-
+scale recipe (DENSIFY_r2: densify_grad_threshold 4e-5 on the 640x480
+quality scene) trained through the FULL 30k reference schedule — nine
+opacity resets, densification to 15k, opacity-prune-only to 30k
+(full_eval.py:56-60 role).  The r4 asset stopped at 2990 iterations to
+dodge the iteration-3000 reset; with the r5 screen-size-prune fix the
+schedule completes, so the committed asset is a model a full reference
+run would actually ship.
+
+Writes assets/trained_scene_big.ply + docs/DENSIFY_r5_30k.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = [sys.executable]
+
+
+def run(cmd):
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO)
+
+
+def read_jsonl(path):
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(l) for l in f if l.strip()]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", default="/tmp/r5big")
+    ap.add_argument("--iters", type=int, default=30000)
+    args = ap.parse_args()
+    scene = os.path.join(args.work, "scene640")
+    model = os.path.join(args.work, "run30k_densify")
+    os.makedirs(args.work, exist_ok=True)
+    t0 = time.time()
+
+    if not os.path.isdir(os.path.join(scene, "sparse")):
+        run(PY + ["tools/make_quality_scene.py", "--out", scene,
+                  "--width", "640", "--height", "480", "--n_cams", "32",
+                  "--n_init_points", "20000", "--floor_n", "240",
+                  "--checker_freq", "6.0", "--blob_m", "14000",
+                  "--orbit_radius", "4.2", "--init_noise", "0.01",
+                  "--capacity", str(1 << 21)])
+
+    if os.path.isdir(model):
+        shutil.rmtree(model)
+    run(PY + ["-m", "gsplat_tpu.scripts.train", "-s", scene, "-m", model,
+              "--eval", "--iterations_override", str(args.iters),
+              "--densify_grad_threshold", "0.00004",
+              "--test_iterations", "7000", str(args.iters),
+              "--save_iterations", str(args.iters),
+              "--capacity", "262144", "--disable_gui_server"])
+
+    ply = os.path.join(model, "point_cloud", f"iteration_{args.iters}",
+                       "point_cloud.ply")
+    with open(ply, "rb") as fh:
+        head = fh.read(512).decode("latin1")
+    n = next(int(l.split()[-1]) for l in head.splitlines()
+             if l.startswith("element vertex"))
+    dst = os.path.join(REPO, "assets", "trained_scene_big.ply")
+    shutil.copyfile(ply, dst)
+
+    el = read_jsonl(os.path.join(model, "eval_log.jsonl"))
+    tl = read_jsonl(os.path.join(model, "train_log.jsonl"))
+    resets = [r for r in tl
+              if r["iter"] % 3000 in (0, 10) and r["iter"] <= 15000]
+    art = {
+        "protocol": "DENSIFY recipe (grad threshold 4e-5) through the full "
+                    f"{args.iters}-iteration reference schedule "
+                    "(nine opacity resets) — r5 prune-semantics fix",
+        "n_gaussians_final": n,
+        "eval": {f'{r["split"]}@{r["iter"]}': {"psnr": round(r["psnr"], 2),
+                                               "l1": round(r["l1"], 4)}
+                 for r in el},
+        "alive_trajectory_at_resets": [
+            {"iter": r["iter"], "loss": round(r["loss"], 4),
+             "n_alive": r["n_alive"]} for r in resets],
+        "asset": "assets/trained_scene_big.ply",
+        "wall_clock_s": round(time.time() - t0, 1),
+    }
+    with open(os.path.join(REPO, "docs", "DENSIFY_r5_30k.json"), "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps(art["eval"]), f"final gaussians {n}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
