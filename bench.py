@@ -264,7 +264,8 @@ def main():
     # prefix is decided INSIDE the loop (ADVICE r4): if the big-asset bench
     # raised, the small asset takes the primary trained_* keys instead of
     # mislabeling itself trained_small_ with no trained_ present.
-    for ply_name in ("trained_scene_big.ply", "trained_scene.ply"):
+    for ply_name in ("trained_scene_big.npz", "trained_scene_big.ply",
+                     "trained_scene.ply"):
         ply = os.path.join(assets_dir, ply_name)
         if os.path.exists(ply):
             prefix = "trained_small_" if trained else "trained_"
@@ -328,18 +329,39 @@ def bench_trained_ply(ply, W, H, tgt, timed, sync, label="trained"):
     from gsplat_tpu.ops import preprocess as pre_lib
     from gsplat_tpu.ops.rasterize import RasterizeConfig, rasterize
 
-    # size the model to the PLY: load_ply grows capacity to the next power
-    # of two above the vertex count (gaussians.py:187-189)
-    m = GaussianModel(3, num_class=2, capacity=1)
-    m.load_ply(ply)
-    p = m.params
-    g = dict(
-        means3d=p.xyz,
-        scales=T.scaling_activation(p.scaling),
-        rotations=p.rotation,
-        opacities=T.opacity_activation(p.opacity[:, 0]),
-        shs=jnp.concatenate([p.features_dc, p.features_rest], axis=1),
-    )
+    if ply.endswith(".npz"):
+        # compressed asset (ADVICE r4: a 67 MB PLY per round permanently
+        # bloats every clone): raw param fields, geometry f32 exact,
+        # SH feature bands fp16 (visually negligible, zero effect on the
+        # instance statistics the bench exercises)
+        z = np.load(ply)
+        n_alive = int(z["xyz"].shape[0])
+        g = dict(
+            means3d=jnp.asarray(z["xyz"].astype(np.float32)),
+            scales=T.scaling_activation(
+                jnp.asarray(z["scaling"].astype(np.float32))),
+            rotations=jnp.asarray(z["rotation"].astype(np.float32)),
+            opacities=T.opacity_activation(
+                jnp.asarray(z["opacity"].astype(np.float32))[:, 0]),
+            shs=jnp.concatenate(
+                [jnp.asarray(z["features_dc"].astype(np.float32)),
+                 jnp.asarray(z["features_rest"].astype(np.float32))],
+                axis=1),
+        )
+    else:
+        # size the model to the PLY: load_ply grows capacity to the next
+        # power of two above the vertex count (gaussians.py:187-189)
+        m = GaussianModel(3, num_class=2, capacity=1)
+        m.load_ply(ply)
+        n_alive = int(m.num_alive)
+        p = m.params
+        g = dict(
+            means3d=p.xyz,
+            scales=T.scaling_activation(p.scaling),
+            rotations=p.rotation,
+            opacities=T.opacity_activation(p.opacity[:, 0]),
+            shs=jnp.concatenate([p.features_dc, p.features_rest], axis=1),
+        )
     fovx = math.radians(62.0)
     fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
     cam = Camera(colmap_id=0, R=np.eye(3), T=np.array([0.0, 0.6, 4.2]),
@@ -401,7 +423,7 @@ def bench_trained_ply(ply, W, H, tgt, timed, sync, label="trained"):
     return {
         "trained_fwdbwd_mpix_per_s": round(mpix / t_fb, 2),
         f"trained_render_fps_{H}p": round(1.0 / t_ro, 1),
-        "trained_n_gaussians": int(m.num_alive),
+        "trained_n_gaussians": n_alive,
         "trained_instances": need,
     }
 

@@ -65,12 +65,30 @@ def main():
 
     ply = os.path.join(model, "point_cloud", f"iteration_{args.iters}",
                        "point_cloud.ply")
-    with open(ply, "rb") as fh:
-        head = fh.read(512).decode("latin1")
-    n = next(int(l.split()[-1]) for l in head.splitlines()
-             if l.startswith("element vertex"))
-    dst = os.path.join(REPO, "assets", "trained_scene_big.ply")
-    shutil.copyfile(ply, dst)
+    # compressed npz asset (ADVICE r4: no more 67 MB PLYs in git history):
+    # geometry f32 exact, SH feature bands fp16
+    sys.path.insert(0, REPO)
+    import numpy as np
+
+    from gsplat_tpu.models.gaussians import GaussianModel
+    m = GaussianModel(3, num_class=2, capacity=1)
+    m.load_ply(ply)
+    alive = np.asarray(m.aux.alive)
+    n = int(alive.sum())
+    dst = os.path.join(REPO, "assets", "trained_scene_big.npz")
+    np.savez_compressed(
+        dst,
+        xyz=np.asarray(m.params.xyz)[alive],
+        scaling=np.asarray(m.params.scaling)[alive],
+        rotation=np.asarray(m.params.rotation)[alive],
+        opacity=np.asarray(m.params.opacity)[alive],
+        features_dc=np.asarray(m.params.features_dc)[alive]
+        .astype(np.float16),
+        features_rest=np.asarray(m.params.features_rest)[alive]
+        .astype(np.float16))
+    old = os.path.join(REPO, "assets", "trained_scene_big.ply")
+    if os.path.exists(old):
+        os.remove(old)
 
     el = read_jsonl(os.path.join(model, "eval_log.jsonl"))
     tl = read_jsonl(os.path.join(model, "train_log.jsonl"))
@@ -87,7 +105,7 @@ def main():
         "alive_trajectory_at_resets": [
             {"iter": r["iter"], "loss": round(r["loss"], 4),
              "n_alive": r["n_alive"]} for r in resets],
-        "asset": "assets/trained_scene_big.ply",
+        "asset": "assets/trained_scene_big.npz",
         "wall_clock_s": round(time.time() - t0, 1),
     }
     with open(os.path.join(REPO, "docs", "DENSIFY_r5_30k.json"), "w") as f:
