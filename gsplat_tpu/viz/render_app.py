@@ -17,6 +17,7 @@ limit mode (visualizer.py:365-374, made functional — see handle_key).
 from __future__ import annotations
 
 import io
+import json
 import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -294,6 +295,38 @@ class RenderServer:
                     body = _CLIENT_HTML.encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html")
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif parsed.path == "/viewer":
+                    # client-side WebGL2 splatting page (N9: the SIBR
+                    # desktop viewer's interactive role, web-native)
+                    from gsplat_tpu.viz import webgl_viewer
+
+                    body = webgl_viewer.VIEWER_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif parsed.path == "/api/splats":
+                    from gsplat_tpu.viz import webgl_viewer
+
+                    with server_self.lock:
+                        buf = webgl_viewer.pack_splats(server_self.gaussians)
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("Content-Length", str(len(buf)))
+                    self.end_headers()
+                    self.wfile.write(buf)
+                elif parsed.path == "/api/viewer-info":
+                    from gsplat_tpu.viz import webgl_viewer
+
+                    with server_self.lock:
+                        info = webgl_viewer.scene_info(
+                            server_self.gaussians, server_self.cam)
+                    body = json.dumps(info).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
                     self.end_headers()
                     self.wfile.write(body)
                 elif parsed.path == "/api/generate-image":
