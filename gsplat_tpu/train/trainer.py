@@ -862,7 +862,7 @@ class Trainer:
         for name, cams in configs:
             if not cams:
                 continue
-            l1s, psnrs = [], []
+            l1s, psnrs, ssims = [], [], []
             for cam in cams:
                 out = render_fn(cam, self.model, bg_color=self.bg,
                                 backend=self.backend,
@@ -871,11 +871,13 @@ class Trainer:
                 gt = jnp.asarray(cam.image)
                 l1s.append(float(L.l1_loss(img, gt)))
                 psnrs.append(float(L.psnr(img, gt)))
+                ssims.append(float(L.ssim(img, gt)))
             print(f"\n[ITER {it}] Evaluating {name}: L1 {np.mean(l1s):.4f} "
-                  f"PSNR {np.mean(psnrs):.2f}")
+                  f"PSNR {np.mean(psnrs):.2f} SSIM {np.mean(ssims):.4f}")
             records.append({"iter": it, "split": name, "n_cams": len(cams),
                             "l1": float(np.mean(l1s)),
-                            "psnr": float(np.mean(psnrs))})
+                            "psnr": float(np.mean(psnrs)),
+                            "ssim": float(np.mean(ssims))})
             if result is None:
                 result = float(np.mean(psnrs))
         if self.model_path and records:
