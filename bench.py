@@ -82,7 +82,8 @@ def main():
     # shrink logic), so measure the culled count first.
     cull = os.environ.get("BENCH_CULL", "exact")
     from gsplat_tpu.ops import binning as bin_lib
-    gx, gy = (W + 15) // 16, (H + 15) // 16
+    gx = (W + pre_lib.TILE_X - 1) // pre_lib.TILE_X
+    gy = (H + pre_lib.TILE_Y - 1) // pre_lib.TILE_Y
 
     def padded_demand(cull_mode):
         """Exact post-binning instance demand (pad-inline 128-aligned
@@ -102,18 +103,36 @@ def main():
             return jnp.sum(padded)
         return int(count(g))
 
+    @jax.jit
+    def count_rows(g):
+        pre = pre_lib.preprocess(
+            g["means3d"], g["scales"], g["rotations"], g["opacities"],
+            g["shs"], 3, cam_kw["viewmatrix"], cam_kw["projmatrix"],
+            cam_kw["campos"], cam_kw["tan_fovx"], cam_kw["tan_fovy"],
+            W, H)
+        rh = jnp.maximum(pre.rect_max[:, 1] - pre.rect_min[:, 1], 1)
+        return jnp.sum(jnp.where(pre.visible, rh, 0))
+
+    # the exact-cull row stage has its own capacity (default
+    # max_instances//2, binning.py) — rows scale with TILE_Y only, so at
+    # wide tiles instance demand shrinks while rows don't; size it
+    # explicitly or the row clip truncates the workload (this is exactly
+    # what invalidated the first 32x16 A/B leg: rows 758k > 720k default,
+    # overflow=true, ~5%% of instances silently dropped)
+    max_rows = ((int(int(count_rows(g)) * 1.02) + 4095) >> 12) << 12
     if cull == "exact":
         # the count is exact for THIS scene+camera, so size tightly —
         # every capacity slot costs ~5 ns/step across the
         # gather/sorts/expansion
         need = padded_demand("exact")
         max_inst = ((int(need * 1.005) + (1 << 17) - 1) >> 17) << 17
-    print(f"# instances={nr0} capacity={max_inst} cull={cull}",
-          file=sys.stderr, flush=True)
+    print(f"# instances={nr0} capacity={max_inst} rows={max_rows} "
+          f"cull={cull}", file=sys.stderr, flush=True)
     feat_prec = os.environ.get("BENCH_FEAT", "bf16")
     mxu_power = os.environ.get("BENCH_MXU_POWER", "1") == "1"
     cfg = RasterizeConfig(width=W, height=H, max_instances=max_inst,
                           backend="auto", grad_precision="bf16", cull=cull,
+                          max_rows=max_rows,
                           feat_precision=feat_prec, mxu_power=mxu_power)
 
     @jax.jit
@@ -373,7 +392,8 @@ def bench_trained_ply(ply, W, H, tgt, timed, sync, label="trained"):
                campos=jnp.asarray(cam.camera_center),
                tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
                bg=jnp.zeros(3))
-    gx, gy = (W + 15) // 16, (H + 15) // 16
+    gx = (W + pre_lib.TILE_X - 1) // pre_lib.TILE_X
+    gy = (H + pre_lib.TILE_Y - 1) // pre_lib.TILE_Y
 
     @jax.jit
     def count(g):
@@ -384,15 +404,19 @@ def bench_trained_ply(ply, W, H, tgt, timed, sync, label="trained"):
         bins = bin_lib.bin_gaussians(pre, gx, gy, 8 << 20, align=128,
                                      cull="exact")
         padded = bins.tile_count + (-bins.tile_count) % 128
-        return jnp.sum(padded), bins.overflow
+        rh = jnp.maximum(pre.rect_max[:, 1] - pre.rect_min[:, 1], 1)
+        rows = jnp.sum(jnp.where(pre.visible, rh, 0))
+        return jnp.sum(padded), rows, bins.overflow
 
-    need, probe_ovf = count(g)
+    need, rows, probe_ovf = count(g)
     need = int(need)
+    max_rows = ((int(int(rows) * 1.02) + 4095) >> 12) << 12
     assert not bool(probe_ovf), "capacity probe overflowed — raise probe cap"
     cap = max(1 << 17, ((int(need * 1.01) + (1 << 16) - 1) >> 16) << 16)
     cfg = RasterizeConfig(width=W, height=H, max_instances=cap,
                           backend="auto", grad_precision="bf16",
-                          cull="exact", feat_precision="bf16",
+                          cull="exact", max_rows=max_rows,
+                          feat_precision="bf16",
                           mxu_power=True)
 
     @jax.jit
@@ -406,17 +430,25 @@ def bench_trained_ply(ply, W, H, tgt, timed, sync, label="trained"):
 
     cfg_r = RasterizeConfig(width=W, height=H, max_instances=cap,
                             backend="auto", cull="exact", render_only=True,
-                            feat_precision="bf16")
+                            max_rows=max_rows, feat_precision="bf16")
 
     @jax.jit
     def render_only(g):
         return rasterize(cfg_r, g["means3d"], g["scales"], g["rotations"],
                          g["opacities"], g["shs"], **ckw)["render"]
 
+    @jax.jit
+    def fwd_flag(g):
+        out = rasterize(cfg, g["means3d"], g["scales"], g["rotations"],
+                        g["opacities"], g["shs"], **ckw)
+        return out["overflow"]
+
     t0 = time.perf_counter()
     sync(fwdbwd(g)); sync(render_only(g))
+    ovf = bool(fwd_flag(g))
     print(f"# trained-scene compile {time.perf_counter() - t0:.0f}s "
-          f"instances={need}", file=sys.stderr, flush=True)
+          f"instances={need} rows={max_rows} overflow={ovf}",
+          file=sys.stderr, flush=True)
     t_fb, _ = timed(fwdbwd, g, label=f"{label}_fwdbwd")
     t_ro, _ = timed(render_only, g, label=f"{label}_render")
     mpix = W * H / 1e6
@@ -425,6 +457,7 @@ def bench_trained_ply(ply, W, H, tgt, timed, sync, label="trained"):
         f"trained_render_fps_{H}p": round(1.0 / t_ro, 1),
         "trained_n_gaussians": n_alive,
         "trained_instances": need,
+        "trained_overflow": ovf,
     }
 
 

@@ -537,12 +537,22 @@ class Trainer:
                 self.model.max_sh_degree, batch["viewmatrix"],
                 batch["projmatrix"], batch["campos"], batch["tan_fovx"],
                 batch["tan_fovy"], cfg.width, cfg.height)
-            return jnp.sum(pre.tiles_touched)
+            rh = jnp.maximum(pre.rect_max[:, 1] - pre.rect_min[:, 1], 1)
+            rows = jnp.sum(jnp.where(pre.visible, rh, 0))
+            return jnp.sum(pre.tiles_touched), rows
 
-        nr = max(int(count(self.model.params, camera_batch(c)))
-                 for c in cams[: min(4, len(cams))])
+        demands = [count(self.model.params, camera_batch(c))
+                   for c in cams[: min(4, len(cams))]]
+        nr = max(int(d[0]) for d in demands)
+        rows = max(int(d[1]) for d in demands)
         pads = cfg.grid_x * cfg.grid_y * 64  # expected pad-inline overhead
-        self._resize_capacity(int(nr * 1.35) + pads)
+        # the exact-cull row stage's capacity defaults to max_instances//2
+        # (binning.py); rows scale with TILE_Y only, so at wide tiles
+        # (TILE_X=32 default) instance demand shrinks while rows don't —
+        # size the capacity to cover BOTH (overflow flag + geometric regrow
+        # still guard drift during densification)
+        self._resize_capacity(max(int(nr * 1.35) + pads,
+                                  2 * int(rows * 1.35)))
 
     def _resize_capacity(self, needed: int):
         blk = 1 << 17

@@ -130,7 +130,8 @@ def test_pallas_expansion_overflow_flag():
 
 def _brute_survivors(pre, gx, gy):
     """Exact per-tile survivor sets: (gaussian, tile) kept iff the minimum
-    of q = .5 d^T conic d over the 16x16 tile box is <= ln(255*op)+1e-3."""
+    of q = .5 d^T conic d over the TILE_X x TILE_Y tile box is
+    <= ln(255*op)+1e-3."""
     rmin = np.asarray(pre.rect_min); rmax = np.asarray(pre.rect_max)
     vis = np.asarray(pre.visible); mean = np.asarray(pre.means2d)
     con = np.asarray(pre.conic); op = np.asarray(pre.opacity)
@@ -143,8 +144,10 @@ def _brute_survivors(pre, gx, gy):
         mx, my = mean[g]
         for ty in range(rmin[g, 1], rmax[g, 1]):
             for tx in range(rmin[g, 0], rmax[g, 0]):
-                x0, y0 = tx * 16.0, ty * 16.0
-                x1, y1 = x0 + 15.0, y0 + 15.0
+                x0 = tx * float(pre_lib.TILE_X)
+                y0 = ty * float(pre_lib.TILE_Y)
+                x1 = x0 + float(pre_lib.TILE_X - 1)
+                y1 = y0 + float(pre_lib.TILE_Y - 1)
 
                 def q(dx, dy):
                     return 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy

@@ -138,18 +138,23 @@ def test_mxu_power_forward_and_grad_parity(rng):
     """mxu_power=True (quadratic form as a tile-relative basis matmul on the
     MXU) must match the VPU elementwise path closely in both the image and
     the input gradients — the tile-relative formulation bounds the matmul's
-    cancellation error to ~1e-5 in power (see _chunk_alpha docstring)."""
+    cancellation error to ~1e-5 in power at 16x16 (see _chunk_alpha
+    docstring).  The px^2/px*py basis magnitudes scale with TILE_X^2, so
+    the absolute power rounding (and hence the image tolerance) scales
+    with (TILE_X/16)^2 — at the 32x16 default that is 4x."""
+    from gsplat_tpu.ops.preprocess import TILE_X
     cam = make_camera(64, 48)
     g = make_gaussians(rng, n=300)
     bg = jnp.array([0.2, 0.4, 0.1])
+    tt = (TILE_X / 16.0) ** 2
 
     base = dict(width=64, height=48, max_instances=1 << 14, backend="pallas")
     out_v = _run(RasterizeConfig(**base), g, cam, bg)
     out_m = _run(RasterizeConfig(mxu_power=True, **base), g, cam, bg)
     np.testing.assert_allclose(np.asarray(out_m["render"]),
-                               np.asarray(out_v["render"]), atol=5e-5)
+                               np.asarray(out_v["render"]), atol=5e-5 * tt)
     np.testing.assert_allclose(np.asarray(out_m["depth"]),
-                               np.asarray(out_v["depth"]), atol=5e-4)
+                               np.asarray(out_v["depth"]), atol=5e-4 * tt)
 
     def loss(means3d, opac, cfg):
         out = rasterize(cfg, means3d, g["scales"], g["rotations"], opac,
