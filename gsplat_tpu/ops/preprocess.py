@@ -25,12 +25,16 @@ from gsplat_tpu.core import transforms as T
 # Tile shape.  The reference hardwires 16x16 (config.h:17-18 BLOCK_X/Y,
 # bound to the CUDA block size); on TPU the tile is a free design axis —
 # the composite kernels, binning and exact-cull geometry all derive from
-# these two constants (VERDICT r4 item 3).  Default 32x16: the measured
-# end-to-end winner on the real v5e across every workload
-# (docs/TILE_AB_r5.json — +22% fwd+bwd on the 500k stress scene, +49%
-# on the 30k-trained heavy asset, +70% on the capture asset; 512 px =
-# 4 full VPU sublane tiles per composite step amortizes the per-tile
-# scan/DMA overhead the r4 instance-count-only model missed).  Override
+# these two constants (VERDICT r4 item 3).  Default 32x32: the measured
+# end-to-end winner on the real v5e across the 7-shape sweep
+# (docs/TILE_AB_r5.json — vs 16x16: +16% fwd+bwd / +40% render on the
+# 500k stress scene, +72% fwd+bwd / +76% render on the 30k-trained heavy
+# asset, +84/+90% on the capture asset; 1024 px = 8 full VPU sublane
+# tiles per composite step amortizes the per-tile scan/DMA overhead, and
+# wider tiles cut column-boundary instance duplicates — num_rendered
+# 1.61M -> 0.84M on the stress scene.  64x32 is ~8% faster still on
+# trained scenes but 14% slower on the dense stress workload; it remains
+# an env-selectable tuning point for render-only serving).  Override
 # per-process via env (set BEFORE importing gsplat_tpu; every downstream
 # module snapshots the values at import): GSPLAT_TILE_X / GSPLAT_TILE_Y.
 # Per-pixel output
@@ -39,7 +43,7 @@ from gsplat_tpu.core import transforms as T
 # pixel's tile under ANY tile shape, and composite order is depth within
 # tile — see tests/test_binning.py::test_tile_shape_invariance.
 TILE_X = int(os.environ.get("GSPLAT_TILE_X", "32"))
-TILE_Y = int(os.environ.get("GSPLAT_TILE_Y", "16"))
+TILE_Y = int(os.environ.get("GSPLAT_TILE_Y", "32"))
 
 
 class PreprocessOut(NamedTuple):

@@ -241,11 +241,13 @@ def test_tile_shape_invariance(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), "tile_shape_worker.py")
     outs = {}
     cases = [(tx, ty, cull, "jnp")
-             for tx, ty in ((16, 16), (32, 16), (8, 16), (16, 32))
+             for tx, ty in ((16, 16), (32, 16), (32, 32), (8, 16), (16, 32))
              for cull in ("none", "exact")]
-    # the Pallas composite kernels at a non-square TILE_PIX=512 block
-    # (interpret mode on CPU; compiled coverage is the TPU bench A/B)
-    cases += [(16, 16, "none", "pallas"), (32, 16, "none", "pallas")]
+    # the Pallas composite kernels at non-square TILE_PIX=512 and the
+    # 1024-px default block (interpret mode on CPU; compiled coverage is
+    # the TPU bench A/B)
+    cases += [(16, 16, "none", "pallas"), (32, 16, "none", "pallas"),
+              (32, 32, "none", "pallas")]
     for tx, ty, cull, backend in cases:
         out = tmp_path / f"t{tx}x{ty}_{cull}_{backend}.npz"
         env = dict(os.environ, GSPLAT_TILE_X=str(tx),

@@ -47,11 +47,14 @@ def test_pallas_forward_multichunk(rng):
     """Force several 256-instance chunks per tile (tests the DMA loop and
     cross-chunk carries)."""
     cam = make_camera(32, 32)
-    g = make_gaussians(rng, n=900, spread=0.6)
+    # >1024 instances even when the whole image is a single tile (the
+    # 32x32 default) so the per-tile chunk loop really iterates
+    n = 1300
+    g = make_gaussians(rng, n=n, spread=0.6)
     # make gaussians big enough that many overlap every tile, low opacity so
     # compositing doesn't terminate early
-    g["scales"] = jnp.asarray(np.full((900, 3), 0.3, np.float32))
-    g["opacities"] = jnp.asarray(np.full(900, 0.02, np.float32))
+    g["scales"] = jnp.asarray(np.full((n, 3), 0.3, np.float32))
+    g["opacities"] = jnp.asarray(np.full(n, 0.02, np.float32))
     bg = jnp.array([0.5, 0.5, 0.5])
 
     cfg_j = RasterizeConfig(width=32, height=32, max_instances=1 << 15,

@@ -25,7 +25,11 @@ def main():
     ap.add_argument("--shapes", nargs="+", default=["16x16", "32x16"])
     args = ap.parse_args()
 
+    out = os.path.join(REPO, "docs", "TILE_AB_r5.json")
     res = {}
+    if os.path.exists(out):  # merge: keep earlier shapes (16x16 base) intact
+        with open(out) as f:
+            res = json.load(f)
     for shape in args.shapes:
         tx, ty = (int(v) for v in shape.split("x"))
         env = dict(os.environ, GSPLAT_TILE_X=str(tx), GSPLAT_TILE_Y=str(ty))
@@ -56,7 +60,6 @@ def main():
                       "trained_render_fps_1080p")
             if isinstance(r.get(k), (int, float))
             and isinstance(base.get(k), (int, float))}
-    out = os.path.join(REPO, "docs", "TILE_AB_r5.json")
     with open(out, "w") as f:
         json.dump(res, f, indent=1)
     print("wrote", out, flush=True)
